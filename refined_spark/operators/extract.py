@@ -1,0 +1,101 @@
+"""E1 — HTML -> text extraction (the byte-identical per-row invariant).
+
+The input table carries ``html BINARY``; the pipeline must reproduce the
+``text`` column byte-identically per url (BASELINE.json input_hint). The
+reference consumes pre-extracted text (its analog is the WikiExtractor
+stage, /root/reference/src/refined/offline_data_generation/clean_wikipedia.py:25-60);
+our corpus is HTML, so extraction is the first operator of every run.
+
+Implementation: a deterministic, stdlib-only extractor (no bs4/lxml in the
+container, and determinism across versions is the point — SURVEY.md §7.3
+calls this out as a hard part). The fixture generator emits HTML whose
+canonical extraction is exactly this function's output, and pytest pins
+goldens, so the invariant is structural.
+
+Contract:
+- block-level elements (<p>, <h1..6>, <li>, <br>) contribute "\\n" joins
+- <script>/<style> subtrees are dropped
+- character/entity references are unescaped
+- runs of whitespace inside a block are collapsed to single spaces,
+  blocks are stripped; empty blocks dropped
+
+Spark surface: :func:`with_extracted_text` — an Arrow-batched pandas UDF
+(html is opaque bytes; this is inherently per-row scalar work, the
+sanctioned UDF case). Scale: pure map, no shuffle; pipelines with the
+parquet scan; column-pruned (only ``html`` is read if only ``extracted``
+is selected downstream).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_BLOCK_TAGS = {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div", "title"}
+_DROP_TAGS = {"script", "style"}
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+class _TextExtractor(HTMLParser):
+    """Event-driven extraction; deterministic by construction."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._buf: list[str] = []
+        self._drop_depth = 0
+
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        self._buf = []
+        text = _WS_RE.sub(" ", raw).strip(" ")
+        if text:
+            self.blocks.append(text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+        elif tag in _BLOCK_TAGS or tag == "br":
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth == 0:
+            self._buf.append(data)
+
+    def result(self) -> str:
+        self._flush()
+        return "\n".join(self.blocks)
+
+
+def extract_text(html: bytes | str) -> str:
+    """Deterministic HTML -> text. Pure function; golden-tested."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return parser.result()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+def with_extracted_text(documents: DataFrame, out_col: str = "extracted") -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) -> + extracted STRING."""
+    return documents.withColumn(out_col, extract_text_udf(documents["html"]))
