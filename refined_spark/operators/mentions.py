@@ -1,0 +1,136 @@
+"""M1 — mention detection + mention-table construction.
+
+Two modes, mirroring the reference:
+
+- provided-spans mode (``Refined.process_text(spans=...)``,
+  /root/reference/src/refined/inference/processor.py:139-170): the span
+  inventory comes from a labeled table (gold_spans); the engine only
+  attaches normalization + context. This is the mode the F1 gate runs in.
+- e2e mode: a deterministic dictionary matcher (the stand-in for the
+  transformer MD head, SURVEY.md §2.3 M1/§7.1): longest-match token
+  n-grams whose normalized form is in the match dictionary (alias-table
+  keys + words of multi-word human surfaces — the global analog of the
+  coref registration trigger, candidate_generator.py:74-80).
+
+Context extraction (the deterministic stand-in for the mention-encoder
+input) is pure Column work: the corpus marks the disambiguating context
+as "(word)" right after a mention; ``F.regexp_extract`` pulls it JVM-side.
+
+Scale: both modes are shuffle-free maps over documents; the matcher
+dictionary is an ~O(1M key) broadcast set (same deployment shape as the
+reference's per-process LMDB/PEM dict, lmdb_wrapper.py:43-55).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.normalize import normalize_surface_form, normalize_udf
+
+_TOKEN_RE = re.compile(r"\S+")
+MAX_NGRAM = 3
+
+_SPAN_SCHEMA = ArrayType(StructType([
+    StructField("start", IntegerType()),
+    StructField("length", IntegerType()),
+    StructField("mention_text", StringType()),
+]))
+
+
+def _match_doc(text: str, match_dict: set[str]) -> list:
+    """Max-munch dictionary matcher over whitespace tokens."""
+    if not text:
+        return []
+    toks = [(m.start(), m.group()) for m in _TOKEN_RE.finditer(text)]
+    out, i, n = [], 0, len(toks)
+    while i < n:
+        matched = False
+        for k in range(min(MAX_NGRAM, n - i), 0, -1):
+            first_off = toks[i][0]
+            last_off, last_tok = toks[i + k - 1]
+            phrase = text[first_off:last_off + len(last_tok)]
+            if normalize_surface_form(phrase) in match_dict:
+                out.append((first_off, len(phrase), phrase))
+                i += k
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
+def make_detect_udf(spark, match_keys: list[str]):
+    """Broadcast the dictionary once; return an Arrow-batched matcher UDF."""
+    bc = spark.sparkContext.broadcast(set(match_keys))
+
+    @pandas_udf(_SPAN_SCHEMA)
+    def detect(texts: pd.Series) -> pd.Series:
+        d = bc.value
+        return texts.map(lambda t: _match_doc(t, d))
+
+    return detect
+
+
+def attach_context(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ctx_word = word in "(word)" immediately after the span, else NULL."""
+    tail = F.substring(
+        F.col(text_col), F.col("start") + F.col("length") + 1, 64
+    )
+    ctx = F.regexp_extract(tail, r"^ \((\w+)\)", 1)
+    return df.withColumn("ctx_word", F.when(ctx == "", None).otherwise(ctx))
+
+
+def mention_id_col() -> F.Column:
+    return F.concat(F.col("url"), F.lit(":"),
+                    F.lpad(F.col("start").cast("string"), 8, "0"))
+
+
+def mentions_from_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """Provided-spans mode. spans: (url, start, length, mention_text).
+
+    Output: url, start, length, mention_text, norm_sf, ctx_word, mention_key.
+    The documents join is an equi-join on url (broadcast-able only for tiny
+    corpora; at scale both sides hash-partition on url — a single shuffle
+    that the downstream per-url coref stage reuses).
+    """
+    joined = spans.select("url", "start", "length", "mention_text").join(
+        documents.select("url", "text"), "url"
+    )
+    out = attach_context(joined)
+    return (
+        out.withColumn("norm_sf", normalize_udf(F.col("mention_text")))
+        .withColumn("mention_key", mention_id_col())
+        .drop("text")
+    )
+
+
+def detect_mentions(spark, documents: DataFrame,
+                    match_keys: list[str]) -> DataFrame:
+    """E2e mode: dictionary MD over extracted text.
+
+    Output schema matches :func:`mentions_from_spans`.
+    """
+    detect = make_detect_udf(spark, match_keys)
+    spans = (
+        documents.select("url", "text",
+                         F.explode(detect(F.col("text"))).alias("sp"))
+        .select("url", "text", "sp.start", "sp.length", "sp.mention_text")
+    )
+    out = attach_context(spans)
+    return (
+        out.withColumn("norm_sf", normalize_udf(F.col("mention_text")))
+        .withColumn("mention_key", mention_id_col())
+        .drop("text")
+    )

@@ -1,0 +1,71 @@
+"""A1/A2 — offline dimension-table ETL (the reference's flagship group-by).
+
+A1 re-creates ``build_pem_lookup`` (/root/reference/src/refined/
+offline_data_generation/generate_pem.py:46-170): link counts from 6
+sources → per-(surface, entity) totals → per-surface probability
+normalization → rank → top-30 truncation. The reference does this with
+in-memory dicts over 18M keys; here it is the canonical
+partial+final-aggregate shuffle on the (skewed) surface key:
+
+    union sources → normalize key → groupBy(surface, qcode).sum
+    → window sum over surface → prob → rank window → rank <= 30
+
+Both windows partition by surface_form — one shuffle total after the
+groupBy (Catalyst reuses the partitioning). Hot aliases ("john") skew this
+shuffle at scale; AQE skew handling is on, and the groupBy pre-aggregates
+map-side so the skew is bounded by distinct (surface, qcode) pairs, not
+raw link rows.
+
+A2 re-creates the dense entity index (preprocess_all.py:101-122):
+distinct qcodes → row_number over a global sort. The global sort is fine
+for dimension-sized data; for 33M+ entities use zipWithIndex-free
+``row_number`` over qcode ranges per partition if it ever dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import config
+from ..functions.normalize import normalize_col
+
+
+def build_pem(link_counts: DataFrame,
+              max_candidates: int = config.MAX_CANDIDATES,
+              normalize: Column | None = None) -> DataFrame:
+    """link_counts: (surface_form_raw, qcode, source, cnt) → pem
+    (surface_form, qcode, prob, rank), rank <= max_candidates.
+
+    ``normalize`` defaults to the pure-Column ASCII normalization (the raw
+    surfaces in link sources are ASCII transforms); pass
+    ``normalize_udf(col)`` for corpora needing the full unidecode path.
+    """
+    key = normalize if normalize is not None \
+        else normalize_col(F.col("surface_form_raw"))
+    counts = (
+        link_counts.withColumn("surface_form", key)
+        .groupBy("surface_form", "qcode")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_total = Window.partitionBy("surface_form")
+    w_rank = Window.partitionBy("surface_form").orderBy(
+        F.desc("prob"), F.asc("qcode"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(w_total))
+        .withColumn("prob", F.col("cnt") / F.col("total"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= max_candidates)
+        .select("surface_form", "qcode", "prob",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def build_entity_index(pem: DataFrame) -> DataFrame:
+    """A2: distinct qcodes → dense 1-based surrogate (0 reserved for pad)."""
+    w = Window.orderBy("qcode")
+    return (
+        pem.select("qcode").distinct()
+        .withColumn("qcode_idx", F.row_number().over(w).cast("long"))
+    )

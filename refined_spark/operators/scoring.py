@@ -1,0 +1,172 @@
+"""F3-F7 — pairwise (mention, candidate) scoring + winner extraction.
+
+Re-implements the reference's ED scoring dataflow declaratively:
+
+- F3 bi-encoder description score: ``dot(desc_emb, mention_emb)`` with the
+  no-description mask to -100 (/root/reference/src/refined/model_components/
+  ed_layer_2.py:61-132). Entity embeddings are PRE-MATERIALIZED in the
+  ``entity_emb`` table (the reference does exactly this with an fp16 memmap,
+  inference/processor.py:525-553) and joined in — compute becomes a join.
+- F5 class lookup: candidates join the entity dim's ``class_idx`` array.
+- F6 prior mixing: one linear layer over
+  [class_overlap, pem, class_dist, desc_score]
+  (entity_disambiguation_layer.py:36-119), pem==0 masked to -1e8,
+  NOTA logit 0 appended, softmax.
+- F7 argmax + threshold: rank window per mention, ED threshold 0.15
+  (evaluation/evaluation.py:70-81).
+
+Everything is Column arithmetic (WholeStageCodegen) except the mention
+embedding itself, which is a hash-embedding pandas UDF evaluated once per
+DISTINCT context word (a tiny dimension), then broadcast-joined back —
+the per-candidate dot product runs JVM-side via ``zip_with``+``aggregate``.
+
+Scale: candidates ⋈ entity_emb is the one potentially-large join; at 33M
+entities x 300 dims it exceeds broadcast range, so the join key is the
+dense ``qcode_idx`` surrogate and AQE picks SMJ/shuffled-hash
+(``broadcast_emb=False``). The windows partition by mention_key — already
+co-partitioned with the candidate shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.window import Window
+
+from .. import config
+from ..functions.embed import hash_embed
+
+
+@pandas_udf(ArrayType(FloatType()))
+def _embed_udf(words: pd.Series) -> pd.Series:
+    return words.map(
+        lambda w: [float(x) for x in hash_embed(w)] if w else None
+    )
+
+
+def ctx_embeddings(mentions: DataFrame) -> DataFrame:
+    """(ctx_word, ctx_emb) for each distinct context word — tiny dim table."""
+    return (
+        mentions.select("ctx_word").where(F.col("ctx_word").isNotNull())
+        .distinct()
+        .withColumn("ctx_emb", _embed_udf(F.col("ctx_word")))
+    )
+
+
+def score_candidates(
+    candidates: DataFrame,
+    mentions: DataFrame,
+    entity: DataFrame,
+    entity_emb: DataFrame,
+    topic_class: DataFrame,
+    weights: dict[str, float],
+    broadcast_emb: bool = True,
+) -> DataFrame:
+    """Returns candidates + feature columns + logit.
+
+    candidates: (url, start, qcode, prob, cand_source, cand_rank)
+    """
+    ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
+    emb = entity_emb.select("qcode_idx", "desc_emb")
+    if broadcast_emb:
+        ent_dim = F.broadcast(ent_dim)
+        emb = F.broadcast(emb)
+
+    m = mentions.select("url", "start", "ctx_word", "mention_key")
+    cand = (
+        candidates.join(m, ["url", "start"])
+        .join(ent_dim, "qcode", "left")
+        .join(emb, "qcode_idx", "left")
+        .join(F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
+                          .withColumnRenamed("class_idx", "t_class_idx")),
+              "ctx_word", "left")
+        .join(F.broadcast(ctx_embeddings(mentions)), "ctx_word", "left")
+    )
+
+    desc_nonzero = F.exists("desc_emb", lambda x: x != 0.0)
+    dot = F.aggregate(
+        F.zip_with("desc_emb", "ctx_emb",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    desc_score = (
+        F.when(F.col("desc_emb").isNull() | ~desc_nonzero,
+               F.lit(config.NO_DESC_MASK))
+        .when(F.col("ctx_emb").isNull(), F.lit(0.0))
+        .otherwise(dot)
+    )
+    overlap = (
+        F.when(F.col("t_class_idx").isNull() | F.col("class_idx").isNull(),
+               F.lit(0.0))
+        .otherwise(F.array_contains(
+            "class_idx", F.col("t_class_idx").cast("smallint")
+        ).cast("double"))
+    )
+    logit_raw = (
+        F.lit(weights["class_overlap"]) * overlap
+        + F.lit(weights["pem"]) * F.col("prob")
+        + F.lit(weights["class_dist"]) * (F.lit(1.0) - overlap)
+        + F.lit(weights["desc_score"]) * desc_score
+        + F.lit(weights["bias"])
+    )
+    logit = F.when(F.col("prob") == 0.0,
+                   F.lit(config.PEM_ZERO_MASK)).otherwise(logit_raw)
+    return (
+        cand.withColumn("desc_score", desc_score)
+        .withColumn("class_overlap", overlap)
+        .withColumn("logit", logit)
+        .select("url", "start", "mention_key", "qcode", "prob", "cand_source",
+                "cand_rank", "desc_score", "class_overlap", "logit")
+    )
+
+
+def extract_links(scored: DataFrame, mentions: DataFrame,
+                  threshold: float = config.ED_THRESHOLD) -> DataFrame:
+    """Softmax (incl. NOTA logit 0) + argmax + ED threshold per mention.
+
+    Output: (url, start, mention_key, pred_qcode NULLABLE, confidence);
+    every mention gets a row (no-candidate mentions -> NULL, conf 0.0).
+    """
+    w = Window.partitionBy("mention_key")
+    # numerically-stable softmax with the NOTA logit 0 in the denominator
+    mx = F.greatest(F.max("logit").over(w), F.lit(0.0))
+    scored = scored.withColumn("_mx", mx)
+    denom = (
+        F.sum(F.exp(F.col("logit") - F.col("_mx"))).over(w)
+        + F.exp(-F.col("_mx"))
+    )
+    scored = scored.withColumn("conf", F.exp(F.col("logit") - F.col("_mx")) / denom)
+    scored = scored.withColumn("nota_conf", F.exp(-F.col("_mx")) / denom)
+
+    order = Window.partitionBy("mention_key").orderBy(
+        F.desc("logit"), F.asc("cand_rank")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(order))
+        .where(F.col("rn") == 1)
+        # NOTA wins only when strictly greater than every candidate logit:
+        # argmax over [logits..., 0] takes the FIRST max, and candidates
+        # precede NOTA (reference appends the NOTA column last,
+        # processor.py:330-334).
+        .withColumn(
+            "pred_qcode",
+            F.when((F.col("logit") >= 0.0) & (F.col("conf") >= threshold),
+                   F.col("qcode")),
+        )
+        .withColumn(
+            "confidence",
+            F.when(F.col("logit") >= 0.0, F.col("conf"))
+            .otherwise(F.col("nota_conf")),
+        )
+        .select("url", "start", "mention_key", "pred_qcode", "confidence")
+    )
+    all_m = mentions.select("url", "start", "mention_key")
+    return (
+        all_m.join(top.select("mention_key", "pred_qcode", "confidence"),
+                   "mention_key", "left")
+        .na.fill({"confidence": 0.0})
+    )

@@ -1,0 +1,92 @@
+"""Text analysis operators for training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure Column expressions (WholeStageCodegen, zero UDFs) so the
+formulas are by construction reproducible in the DuckDB oracle and free at
+scale (they fuse into the parquet scan's projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram-heuristic language ID)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "por"],
+}
+
+
+def _count_word(text: Column, word: str) -> Column:
+    # count of whole-word occurrences, case-insensitive
+    return F.size(F.regexp_extract_all(
+        F.lower(text), F.lit(rf"\b{word}\b"), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_count_word(text, w) for w in words), F.lit(0))
+        for lang, words in _LANG_MARKERS.items()
+    }
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word vote; ties/zero evidence → 'und' (undetermined)."""
+    scores = lang_scores(F.col(text_col))
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # deterministic priority order on ties: reverse so earlier keys win
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (the BPE-ish proxy: words + punct runs)."""
+    toks = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0))
+    return df.withColumn(out_col, toks)
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features + a
+    composite [0,1] score (heuristics in the C4/Gopher-rule style)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_words = F.size(F.split(t, r"\s+"))
+    n_stop = sum((_count_word(t, w) for w in _LANG_MARKERS["en"]), F.lit(0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(0.0)
+    mean_word_len = F.when(n_words > 0, n_alpha / n_words).otherwise(0.0)
+    score = (
+        F.lit(0.4) * F.least(alpha_ratio * F.lit(1.25), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0),
+                                             F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 64-bit content fingerprint (xxhash64 of the
+    whitespace-canonicalized text) — the rolling-hash doc identity used
+    for incremental dedup manifests."""
+    canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(canon))

@@ -1,0 +1,102 @@
+"""End-to-end ER pipeline: extract → mentions → candidates → scoring →
+links → transitive clusters.
+
+Stage graph (per SURVEY.md §3.1's Spark restatement):
+
+  documents ──extract(E1, map)──┐
+  gold_spans ──────────────────mentions(M1) ──⋈ broadcast pem (M2/blocking)
+      └─ groupBy(url) coref (M3/M4) ─ candidates
+  candidates ⋈ entity ⋈ entity_emb ⋈ topic_class → scores (F3-F6, codegen)
+      → window argmax + threshold (F7) → links
+      → large-star/small-star CC (A9) → clusters
+
+Shuffle census at scale (the thing that matters at 100 TB):
+  1. mentions⋈documents + groupBy(url) coref: ONE hash shuffle on url.
+  2. candidate scoring joins: broadcast (dims) — zero shuffle — or
+     qcode_idx shuffle when the embedding table exceeds broadcast range.
+  3. per-mention windows: shuffle on mention_key.
+  4. CC: one groupBy per star round (log-bounded; 2-3 on ER graphs).
+Filters/column pruning reach the parquet scan (only url/html/text/lang are
+read; `html` only when extraction runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config
+from .operators.candidates import generate_candidates
+from .operators.clustering import cluster_mentions
+from .operators.extract import with_extracted_text
+from .operators.mentions import detect_mentions, mentions_from_spans
+from .operators.scoring import extract_links, score_candidates
+
+
+def load_tables(spark: SparkSession, fixture_dir: str) -> dict[str, DataFrame]:
+    names = ["documents", "gold_spans", "pem", "entity", "entity_emb",
+             "topic_class", "ed_weights", "class_edges", "gold_pairs",
+             "link_counts"]
+    return {
+        n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
+        for n in names
+    }
+
+
+def load_weights(ed_weights: DataFrame) -> dict[str, float]:
+    return {r["feature"]: r["weight"] for r in ed_weights.collect()}
+
+
+def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
+    """Matcher keys: pem surfaces + words of multi-word human surfaces
+    (the global analog of the coref registration trigger)."""
+    human_sfs = (
+        pem.join(entity.select("qcode", "is_human"), "qcode")
+        .where(F.col("is_human")
+               & (F.col("prob") > config.PERSON_COREF_PEM_MIN))
+        .select("surface_form")
+        .where(F.instr("surface_form", " ") > 0)
+        .distinct()
+    )
+    words = human_sfs.select(
+        F.explode(F.split("surface_form", " ")).alias("w")).distinct()
+    keys = [r["surface_form"] for r in
+            pem.select("surface_form").distinct().collect()]
+    keys += [r["w"] for r in words.collect()]
+    return keys
+
+
+def run_pipeline(
+    spark: SparkSession,
+    fixture_dir: str,
+    mode: str = "spans",
+    broadcast_pem: bool = True,
+    broadcast_emb: bool = True,
+) -> dict[str, DataFrame]:
+    """Returns {'mentions','candidates','links','clusters'} DataFrames.
+
+    mode='spans': provided-spans (the F1-gated configuration, reference
+    process_text(spans=...) semantics). mode='e2e': dictionary MD.
+    """
+    t = load_tables(spark, fixture_dir)
+    docs = with_extracted_text(t["documents"]).withColumn(
+        "text", F.col("extracted")).drop("extracted")
+
+    if mode == "spans":
+        mentions = mentions_from_spans(docs, t["gold_spans"])
+    else:
+        mentions = detect_mentions(
+            spark, docs, match_dictionary(t["pem"], t["entity"]))
+
+    candidates = generate_candidates(
+        mentions, t["pem"], t["entity"], broadcast_pem=broadcast_pem)
+    weights = load_weights(t["ed_weights"])
+    scored = score_candidates(
+        candidates, mentions, t["entity"], t["entity_emb"],
+        t["topic_class"], weights, broadcast_emb=broadcast_emb)
+    links = extract_links(scored, mentions)
+    clusters = cluster_mentions(links)
+    return dict(mentions=mentions, candidates=candidates, scored=scored,
+                links=links, clusters=clusters, tables=t)
