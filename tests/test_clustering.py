@@ -1,0 +1,62 @@
+"""A9 — connected components on seeded graphs (chain, star, cliques,
+disjoint singletons) + convergence behavior."""
+
+import pyspark.sql.functions as F
+
+from refined_spark.operators.clustering import (
+    cluster_mentions,
+    connected_components,
+)
+
+
+def _cc_sets(spark, edges):
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    comp = connected_components(df)
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r["component"], set()).add(r["node"])
+    return sorted((sorted(g) for g in groups.values()))
+
+
+def test_cc_chain(spark):
+    # long chain exercises the log-round convergence
+    edges = [(i, i + 1) for i in range(1, 30)]
+    got = _cc_sets(spark, edges)
+    assert got == [list(range(1, 31))]
+
+
+def test_cc_star_and_clique(spark):
+    edges = [(100, i) for i in range(101, 110)]          # star
+    edges += [(a, b) for a in range(200, 205)            # clique
+              for b in range(a + 1, 205)]
+    edges += [(300, 301)]                                # pair
+    got = _cc_sets(spark, edges)
+    assert got == [list(range(100, 110)), list(range(200, 205)), [300, 301]]
+
+
+def test_cc_two_chains_merged(spark):
+    edges = [(i, i + 1) for i in range(1, 10)] + \
+            [(i, i + 1) for i in range(20, 30)] + [(5, 25)]
+    got = _cc_sets(spark, edges)
+    assert got == [list(range(1, 11)) + list(range(20, 31))]
+
+
+def test_cluster_mentions_singletons_and_transitivity(spark):
+    links = spark.createDataFrame(
+        [
+            ("u1", 0, "u1:00000000", "Q1"),
+            ("u2", 0, "u2:00000000", "Q1"),   # same entity -> same cluster
+            ("u3", 0, "u3:00000000", "Q2"),
+            ("u4", 0, "u4:00000000", None),   # unlinked -> singleton
+            ("u5", 0, "u5:00000000", None),
+        ],
+        "url: string, start: int, mention_key: string, pred_qcode: string",
+    )
+    out = {(r["url"], r["cluster_id"]) for r in
+           cluster_mentions(links).collect()}
+    by_url = dict((u, c) for u, c in out)
+    assert by_url["u1"] == by_url["u2"] == "u1:00000000"
+    assert by_url["u3"] == "u3:00000000"
+    assert by_url["u4"] == "u4:00000000"
+    assert by_url["u5"] == "u5:00000000"
+    assert len(out) == 5

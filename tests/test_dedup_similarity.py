@@ -1,0 +1,94 @@
+"""Dedup + similarity: brute-force ground truth at small n."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from refined_spark.operators.dedup import (
+    _minhash_sig,
+    _shingles,
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from refined_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.Generator(np.random.PCG64(5))
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        words = [vocab[int(x)] for x in rng.integers(0, 50, size=60)]
+        rows.append((i, " ".join(words)))
+    # exact dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1]))
+    # near dup (one word appended to a long doc)
+    rows.append((102, rows[1][1] + " w0"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup_groups(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 3
+    assert out[0]["keep_id"] == 0
+
+
+def test_lsh_finds_all_brute_force_pairs(spark, docs):
+    """LSH-verified near-dup pairs == brute-force jaccard pairs at tau=0.9."""
+    rows = docs.collect()
+    sh = {r["doc_id"]: _shingles(r["text"], 3) for r in rows}
+    truth = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            uni = len(sh[a] | sh[b])
+            if uni and inter / uni >= 0.9:
+                truth.add((a, b))
+    assert truth  # fixture must contain near-dups
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    got = {(r["id_a"], r["id_b"])
+           for r in jaccard_verify(pairs, docs, threshold=0.9).collect()}
+    assert got == truth
+
+
+def test_minhash_exact_dup_recall_is_one():
+    a = _minhash_sig("identical text body here", 32, 3)
+    b = _minhash_sig("identical text body here", 32, 3)
+    assert a == b
+
+
+def test_simhash_identical_and_different(spark, docs):
+    sigs = {r["id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[100] == sigs[101]
+    # near-dup: small hamming distance
+    ham = bin((sigs[1] ^ sigs[102]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8
+    ham_rand = bin((sigs[2] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_rand > 8
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id: long, embedding: array<float>")
+    got = cosine_topk(df.where("vec_id < 3"), df, k=4).collect()
+    # numpy ground truth
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        cos = (v @ v[q]) / (norms * norms[q])
+        cos[q] = -np.inf
+        want = list(np.argsort(-cos)[:4])
+        rows = sorted((r for r in got if r["query_id"] == q),
+                      key=lambda r: r["nn_rank"])
+        assert [r["neighbor_id"] for r in rows] == want

@@ -1,0 +1,65 @@
+"""A1 PEM build, A2 entity index, class closure / minimal-set pruning."""
+
+import pyspark.sql.functions as F
+
+from refined_spark.operators.closure import class_closure, minimal_classes
+from refined_spark.operators.pem_build import build_entity_index, build_pem
+
+
+def test_build_pem_math(spark):
+    rows = [
+        ("Jaguar", "Q1", "labels", 30),
+        ("JAGUAR", "Q1", "hyperlinks", 30),
+        ("The Jaguar", "Q2", "aliases", 30),
+        ("Jaguar.", "Q3", "redirects", 10),
+    ]
+    lc = spark.createDataFrame(
+        rows, "surface_form_raw: string, qcode: string, source: string,"
+              " cnt: long")
+    out = {(r["qcode"]): (r["prob"], r["rank"])
+           for r in build_pem(lc).collect()}
+    assert out["Q1"] == (0.6, 1)
+    assert out["Q2"] == (0.3, 2)
+    assert out["Q3"] == (0.1, 3)
+
+
+def test_build_pem_truncation(spark):
+    rows = [("k", f"Q{i:03d}", "labels", 100 - i) for i in range(40)]
+    lc = spark.createDataFrame(
+        rows, "surface_form_raw: string, qcode: string, source: string,"
+              " cnt: long")
+    out = build_pem(lc).collect()
+    assert len(out) == 30
+    assert max(r["rank"] for r in out) == 30
+    # rank 1 = highest count
+    assert [r for r in out if r["rank"] == 1][0]["qcode"] == "Q000"
+
+
+def test_entity_index_dense(spark):
+    pem = spark.createDataFrame(
+        [("a", "Q3"), ("b", "Q1"), ("c", "Q1"), ("d", "Q2")],
+        "surface_form: string, qcode: string")
+    out = {r["qcode"]: r["qcode_idx"]
+           for r in build_entity_index(pem).collect()}
+    assert out == {"Q1": 1, "Q2": 2, "Q3": 3}
+
+
+def test_class_closure_diamond(spark, fx_t1):
+    edges = spark.read.parquet(f"{fx_t1}/class_edges.parquet")
+    cl = class_closure(edges)
+    anc = {r["ancestor_class"] for r in
+           cl.where("child_class = 'C_team'").collect()}
+    # diamond: team -> {sports_org, company} -> org -> thing
+    assert anc == {"C_team", "C_sports_org", "C_company", "C_org", "C_thing"}
+
+
+def test_minimal_classes_prunes_implied(spark, fx_t1):
+    edges = spark.read.parquet(f"{fx_t1}/class_edges.parquet")
+    cl = class_closure(edges)
+    labeled = spark.createDataFrame(
+        [("m1", "C_carmaker"), ("m1", "C_company"), ("m1", "C_org"),
+         ("m2", "C_city")],
+        "key: string, class_name: string")
+    out = {(r["key"], r["class_name"])
+           for r in minimal_classes(cl, labeled).collect()}
+    assert out == {("m1", "C_carmaker"), ("m2", "C_city")}
