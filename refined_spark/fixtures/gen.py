@@ -40,7 +40,7 @@ from ..functions.normalize import normalize_surface_form
 from . import vocab
 from .oracle import run_oracle
 
-FIXTURE_VERSION = "v3"
+FIXTURE_VERSION = "v4"
 
 TIERS = {
     "t1": dict(n_stems=20, n_persons=12, n_docs=120, pair_cap=None,
@@ -403,11 +403,25 @@ def build_gold_pairs(spans, cap, seed=42):
     for block in sorted(by_block):
         members = sorted(by_block[block], key=lambda s: (s["url"], s["start"]))
         n = len(members)
-        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
-        if cap is not None and len(all_pairs) > cap:
-            idx = rng.choice(len(all_pairs), size=cap, replace=False)
-            all_pairs = [all_pairs[int(x)] for x in sorted(idx)]
-        for a, b in all_pairs:
+        n_pairs = n * (n - 1) // 2
+        if cap is None or n_pairs <= cap:
+            sel_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        else:
+            # sample pair indices WITHOUT materializing the O(n^2) list
+            idx = rng.choice(n_pairs, size=cap, replace=False)
+            sel_pairs = []
+            for flat in sorted(int(x) for x in idx):
+                # unrank: pair index -> (a, b), a < b
+                a = int((2 * n - 1 - np.sqrt((2 * n - 1) ** 2
+                                             - 8 * flat)) // 2)
+                # guard against sqrt rounding at block boundaries
+                while a * (2 * n - a - 1) // 2 > flat:
+                    a -= 1
+                while (a + 1) * (2 * n - a - 2) // 2 <= flat:
+                    a += 1
+                off = flat - a * (2 * n - a - 1) // 2
+                sel_pairs.append((a, a + 1 + off))
+        for a, b in sel_pairs:
             sa, sb = members[a], members[b]
             rows.append(dict(
                 url_a=sa["url"], start_a=sa["start"],
