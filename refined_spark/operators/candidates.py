@@ -27,6 +27,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -75,7 +76,99 @@ def direct_candidates(mentions: DataFrame, pem: DataFrame, entity: DataFrame,
 
 
 def with_person_coref(direct: DataFrame) -> DataFrame:
-    """Sequential per-document coreference + final candidate table.
+    """Person-name coreference, fully declarative (zero Python in the path).
+
+    The reference threads a per-doc dict sequentially
+    (candidate_generator.py:56-94). That protocol is exactly expressible
+    relationally, because:
+
+    - only multi-word surfaces with a human candidate (pem > 0.05)
+      REGISTER words into the dict (each word -> that mention's capped
+      human candidates, overwriting previous registrations);
+    - only single-word surfaces can RECEIVE (dict keys are single words);
+    - a receiver sees the LATEST registration before it in start order.
+
+    So: registrations = explode(words of registering mentions);
+    receiver x registration equi-join on (url, word) with
+    start_reg < start_recv; "latest wins" = max(start_reg) window; the
+    reference's stable merge sort + unique-by-qcode becomes a sort key
+    (-prob, source_order, origin_rank) + row_number dedup — byte-exact
+    with the sequential semantics (capping preserves the descending
+    order, so the sort reproduces registration order for coref-only
+    mentions).
+
+    Scale: one (url, word) equi-join + per-mention windows — shuffles
+    co-partitioned with the blocking join; no per-group Python (the
+    applyInPandas variant, kept as `with_person_coref_python` for
+    cross-checking, spent ~40 core-ms per document on pandas overhead).
+    """
+    m_cols = ["url", "start", "norm_sf", "mention_key"]
+    cand = direct.where(F.col("qcode").isNotNull())
+
+    # registrations: one row per (word of registering surface, human cand)
+    registering = cand.where(
+        F.col("is_human")
+        & (F.col("prob") > config.PERSON_COREF_PEM_MIN)
+        & F.col("norm_sf").contains(" "))
+    reg = (
+        registering.select(
+            "url",
+            F.col("start").alias("start_reg"),
+            F.explode(F.split("norm_sf", " ")).alias("word"),
+            F.col("qcode").alias("c_qcode"),
+            F.least(F.col("prob"),
+                    F.lit(config.PERSON_COREF_PEM_CAP)).alias("c_prob"),
+            F.col("rank").alias("c_rank"),
+        )
+    )
+
+    # receivers: single-word mentions (dict keys are single words)
+    recv = (
+        direct.select(*m_cols).distinct()
+        .where(~F.col("norm_sf").contains(" "))
+    )
+    joined = recv.join(
+        reg,
+        (recv.url == reg.url) & (recv.norm_sf == reg.word)
+        & (reg.start_reg < recv.start),
+    ).drop(reg.url)
+    w_last = Window.partitionBy("mention_key")
+    indirect = (
+        joined.withColumn("max_reg", F.max("start_reg").over(w_last))
+        .where(F.col("start_reg") == F.col("max_reg"))
+        .select(
+            "url", "start", "norm_sf", "mention_key",
+            F.col("c_qcode").alias("qcode"),
+            F.col("c_prob").alias("prob"),
+            F.lit("coref").alias("cand_source"),
+            F.lit(1).alias("src_order"),
+            F.col("c_rank").alias("orig_rank"),
+        )
+    )
+    direct_rows = cand.select(
+        "url", "start", "norm_sf", "mention_key", "qcode", "prob",
+        F.lit("direct").alias("cand_source"),
+        F.lit(0).alias("src_order"),
+        F.col("rank").alias("orig_rank"),
+    )
+    merged = direct_rows.unionByName(indirect)
+
+    order = [F.desc("prob"), F.asc("src_order"), F.asc("orig_rank")]
+    w_q = Window.partitionBy("mention_key", "qcode").orderBy(*order)
+    w_m = Window.partitionBy("mention_key").orderBy(*order)
+    return (
+        merged.withColumn("dup_rn", F.row_number().over(w_q))
+        .where(F.col("dup_rn") == 1)
+        .withColumn("cand_rank", F.row_number().over(w_m).cast("int"))
+        .where(F.col("cand_rank") <= config.MAX_CANDIDATES)
+        .select("url", F.col("start").cast("int").alias("start"), "qcode",
+                "prob", "cand_source", "cand_rank")
+    )
+
+
+def with_person_coref_python(direct: DataFrame) -> DataFrame:
+    """Sequential per-document coreference (reference-shaped protocol),
+    kept as the cross-check implementation for tests.
 
     Input: output of :func:`direct_candidates`.
     Output: CANDIDATE_SCHEMA rows (cand_source in {'direct','coref'}),

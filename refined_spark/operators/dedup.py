@@ -38,10 +38,16 @@ _MASK64 = (1 << 64) - 1
 
 
 def _shingles(text: str, k: int) -> set[str]:
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        return {t} if t else set()
-    return {t[i:i + k] for i in range(len(t) - k + 1)}
+    """WORD k-gram shingles. Word-level (not char-level) shingling keeps
+    the pairwise-jaccard distribution of unrelated same-domain documents
+    near zero — char 3-grams of same-vocabulary text overlap ~40%+, which
+    floods LSH buckets with O(n^2) false candidates."""
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
 def _hash64(s: str, seed: int = 0) -> int:
@@ -134,21 +140,19 @@ def lsh_candidate_pairs(signatures: DataFrame,
 def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = config.SHINGLE_K,
                    threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard),
-    filtered to >= threshold. Shingle sets are computed JVM-side."""
+    """Exact word-n-gram Jaccard on candidate pairs → (id_a, id_b,
+    jaccard), filtered to >= threshold. Shingle sets are computed
+    JVM-side (split + slice + concat_ws — codegen, no UDF)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.length("norm") - k, F.lit(0)),
-            ),
-            lambda i: F.substring(F.col("norm"), i + 1, k),
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(words) - k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i + 1, k)),
         )
     )
-    shingled = docs.select(
-        F.col(id_col).alias("id"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("norm"),
-    ).select("id", sh.alias("shingles"))
+    shingled = docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
     joined = (

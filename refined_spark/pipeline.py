@@ -39,10 +39,22 @@ def load_tables(spark: SparkSession, fixture_dir: str) -> dict[str, DataFrame]:
     names = ["documents", "gold_spans", "pem", "entity", "entity_emb",
              "topic_class", "ed_weights", "class_edges", "gold_pairs",
              "link_counts"]
-    return {
+    t = {
         n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
         for n in names
     }
+    # The fact tables arrive as a handful of tightly-compressed parquet
+    # files; without an explicit spread the extraction/normalization UDF
+    # stages run on however many input splits the scan produced (1-2
+    # locally), capping parallelism no matter the core count. Hash-
+    # repartitioning on url costs one tiny shuffle and co-partitions
+    # documents with the mentions/coref stages that group by url anyway.
+    # On a real cluster the corpus is thousands of files and this spread
+    # is a no-op cost-wise (or replaced by the table's bucketing).
+    par = spark.sparkContext.defaultParallelism
+    t["documents"] = t["documents"].repartition(par, "url")
+    t["gold_spans"] = t["gold_spans"].repartition(par, "url")
+    return t
 
 
 def load_weights(ed_weights: DataFrame) -> dict[str, float]:
