@@ -30,11 +30,10 @@ co-partitioned with the candidate shuffle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, FloatType
-from pyspark.sql.window import Window
 
 from .. import config
 from ..functions.embed import hash_embed
@@ -128,45 +127,37 @@ def extract_links(scored: DataFrame, mentions: DataFrame,
                   threshold: float = config.ED_THRESHOLD) -> DataFrame:
     """Softmax (incl. NOTA logit 0) + argmax + ED threshold per mention.
 
+    ONE hash aggregation per mention (no sort-based windows):
+    ``max_by(candidate, (logit, -cand_rank))`` is the argmax with the
+    reference's first-occurrence tie-break (candidates precede NOTA,
+    processor.py:330-334), and ``sum(exp(logit)) + 1`` is the softmax
+    denominator with the NOTA term. The unshifted exp is safe here:
+    logits are bounded (|w|·|features| ≈ 10) and the masks (-100 / -1e8)
+    underflow to 0 exactly as the stable form would.
+
     Output: (url, start, mention_key, pred_qcode NULLABLE, confidence);
     every mention gets a row (no-candidate mentions -> NULL, conf 0.0).
     """
-    w = Window.partitionBy("mention_key")
-    # numerically-stable softmax with the NOTA logit 0 in the denominator
-    mx = F.greatest(F.max("logit").over(w), F.lit(0.0))
-    scored = scored.withColumn("_mx", mx)
-    denom = (
-        F.sum(F.exp(F.col("logit") - F.col("_mx"))).over(w)
-        + F.exp(-F.col("_mx"))
+    agg = scored.groupBy("mention_key").agg(
+        F.max("logit").alias("mx"),
+        F.sum(F.exp("logit")).alias("sum_exp"),
+        F.max_by(
+            F.col("qcode"),
+            F.struct(F.col("logit"), (-F.col("cand_rank")).alias("nr")),
+        ).alias("win_qcode"),
     )
-    scored = scored.withColumn("conf", F.exp(F.col("logit") - F.col("_mx")) / denom)
-    scored = scored.withColumn("nota_conf", F.exp(-F.col("_mx")) / denom)
-
-    order = Window.partitionBy("mention_key").orderBy(
-        F.desc("logit"), F.asc("cand_rank")
-    )
-    top = (
-        scored.withColumn("rn", F.row_number().over(order))
-        .where(F.col("rn") == 1)
-        # NOTA wins only when strictly greater than every candidate logit:
-        # argmax over [logits..., 0] takes the FIRST max, and candidates
-        # precede NOTA (reference appends the NOTA column last,
-        # processor.py:330-334).
-        .withColumn(
-            "pred_qcode",
-            F.when((F.col("logit") >= 0.0) & (F.col("conf") >= threshold),
-                   F.col("qcode")),
-        )
-        .withColumn(
-            "confidence",
-            F.when(F.col("logit") >= 0.0, F.col("conf"))
-            .otherwise(F.col("nota_conf")),
-        )
-        .select("url", "start", "mention_key", "pred_qcode", "confidence")
+    denom = F.col("sum_exp") + F.lit(1.0)  # + exp(0) for NOTA
+    conf_win = F.exp(F.col("mx")) / denom
+    top = agg.select(
+        "mention_key",
+        # NOTA wins only when strictly greater than every candidate logit
+        F.when((F.col("mx") >= 0.0) & (conf_win >= threshold),
+               F.col("win_qcode")).alias("pred_qcode"),
+        F.when(F.col("mx") >= 0.0, conf_win)
+        .otherwise(F.lit(1.0) / denom).alias("confidence"),
     )
     all_m = mentions.select("url", "start", "mention_key")
     return (
-        all_m.join(top.select("mention_key", "pred_qcode", "confidence"),
-                   "mention_key", "left")
+        all_m.join(top, "mention_key", "left")
         .na.fill({"confidence": 0.0})
     )
