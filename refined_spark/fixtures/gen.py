@@ -47,7 +47,7 @@ TIERS = {
                with_oracle=True, n_hot=20),
     "t2": dict(n_stems=50, n_persons=40, n_docs=2000, pair_cap=400,
                with_oracle=True, n_hot=35),
-    "bench": dict(n_stems=50, n_persons=60, n_docs=100_000, pair_cap=50,
+    "bench": dict(n_stems=50, n_persons=60, n_docs=400_000, pair_cap=50,
                   with_oracle=False, n_hot=35),
 }
 

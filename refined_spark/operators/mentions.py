@@ -49,19 +49,54 @@ _SPAN_SCHEMA = ArrayType(StructType([
 ]))
 
 
-def _match_doc(text: str, match_dict: set[str]) -> list:
-    """Max-munch dictionary matcher over whitespace tokens."""
+def _norm_token_cached(tok: str, cache: dict[str, str]) -> str:
+    """Token-level normalization (remove_the=False: "the " stripping is a
+    phrase-level rule, handled in the matcher). Memoized per worker —
+    token vocabularies are Zipfian, so the hit rate is ~1."""
+    v = cache.get(tok)
+    if v is None:
+        v = normalize_surface_form(tok, remove_the=False)
+        if len(cache) < 2_000_000:
+            cache[tok] = v
+        else:
+            return v
+    return v
+
+
+def _match_doc(text: str, match_dict: set[str], first_words: set[str],
+               cache: dict[str, str]) -> list:
+    """Max-munch dictionary matcher over whitespace tokens.
+
+    Phrase normalization = join of token normalizations (+ the phrase-level
+    "the "-prefix rule), which equals ``normalize_surface_form(phrase)``
+    because every other rule is per-character and never touches the single
+    spaces between tokens. Two fast-path filters keep this ~O(tokens):
+    a memoized per-token normalization and a first-word index — an n-gram
+    is only assembled when its (normalized) first word starts some
+    dictionary key.
+    """
     if not text:
         return []
     toks = [(m.start(), m.group()) for m in _TOKEN_RE.finditer(text)]
+    norm = [_norm_token_cached(t, cache) for _off, t in toks]
     out, i, n = [], 0, len(toks)
     while i < n:
+        w0 = norm[i]
+        the_skip = w0 == "the"
+        if not (w0 in first_words or the_skip):
+            i += 1
+            continue
         matched = False
         for k in range(min(MAX_NGRAM, n - i), 0, -1):
-            first_off = toks[i][0]
-            last_off, last_tok = toks[i + k - 1]
-            phrase = text[first_off:last_off + len(last_tok)]
-            if normalize_surface_form(phrase) in match_dict:
+            parts = norm[i:i + k]
+            if the_skip and k > 1:
+                phrase_norm = " ".join(parts[1:])
+            else:
+                phrase_norm = " ".join(parts)
+            if phrase_norm in match_dict:
+                first_off = toks[i][0]
+                last_off, last_tok = toks[i + k - 1]
+                phrase = text[first_off:last_off + len(last_tok)]
                 out.append((first_off, len(phrase), phrase))
                 i += k
                 matched = True
@@ -71,14 +106,21 @@ def _match_doc(text: str, match_dict: set[str]) -> list:
     return out
 
 
+# per-python-worker token-normalization memo (survives across batches)
+_TOKEN_NORM_CACHE: dict[str, str] = {}
+
+
 def make_detect_udf(spark, match_keys: list[str]):
     """Broadcast the dictionary once; return an Arrow-batched matcher UDF."""
-    bc = spark.sparkContext.broadcast(set(match_keys))
+    keys = {k for k in match_keys if k}
+    first_words = {k.split(" ", 1)[0] for k in keys}
+    bc = spark.sparkContext.broadcast((keys, first_words))
 
     @pandas_udf(_SPAN_SCHEMA)
     def detect(texts: pd.Series) -> pd.Series:
-        d = bc.value
-        return texts.map(lambda t: _match_doc(t, d))
+        d, fw = bc.value
+        cache = _TOKEN_NORM_CACHE
+        return texts.map(lambda t: _match_doc(t, d, fw, cache))
 
     return detect
 
