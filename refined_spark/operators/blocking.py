@@ -43,7 +43,9 @@ def band_keys_udf(num_perm: int = config.MINHASH_PERMS,
     @pandas_udf(ArrayType(LongType()))
     def bands_of(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[int]:
-            sig = np.asarray(_minhash_sig(t or "", num_perm, k),
+            # char shingles: surface forms are 1-4 words; word shingles
+            # degenerate there (one typo -> Jaccard 0)
+            sig = np.asarray(_minhash_sig(t or "", num_perm, k, char=True),
                              dtype=np.int64)
             out = []
             for b in range(bands):
@@ -67,7 +69,10 @@ def with_block_keys(mentions: DataFrame,
     (mention, band)); union-compatible with the exact-surface block key."""
     udf = band_keys_udf()
     return (
-        mentions.withColumn("band_keys", udf(F.col(sf_col)))
+        # empty/null surfaces all share the zero signature -> one degenerate
+        # block pairing every empty mention with every other; drop them
+        mentions.where(F.col(sf_col).isNotNull() & (F.length(sf_col) > 0))
+        .withColumn("band_keys", udf(F.col(sf_col)))
         .withColumn("block_key", F.explode("band_keys"))
         .drop("band_keys")
     )

@@ -26,9 +26,11 @@ def windowed_event_counts(events: DataFrame,
     per-(window, event_type) count + value sum. Works identically on a
     batch or streaming DataFrame (same logical plan; the streaming planner
     adds state + watermark eviction)."""
-    src = events
+    # parquet written by pandas/arrow can carry TIMESTAMP_NTZ; watermarks
+    # require TIMESTAMP (with local tz), so normalize first
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"),

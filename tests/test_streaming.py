@@ -11,8 +11,19 @@ from refined_spark.streaming.events import (
 )
 
 
+def _stream_dir(tmp_path_factory, file_path):
+    """Streaming file source needs a directory; driver testdata are single
+    parquet files — symlink into a fresh dir."""
+    if os.path.isdir(file_path):
+        return file_path
+    d = tmp_path_factory.mktemp("stream_src")
+    os.symlink(file_path, os.path.join(d, os.path.basename(file_path)))
+    return str(d)
+
+
 def test_windowed_counts_stream_equals_batch(spark, sf001, tmp_path_factory):
-    events_path = os.path.join(sf001, "events.parquet")
+    events_path = _stream_dir(tmp_path_factory,
+                              os.path.join(sf001, "events.parquet"))
     batch = spark.read.parquet(events_path)
     want = {tuple(r) for r in windowed_event_counts(batch).collect()}
 
@@ -50,8 +61,9 @@ def test_streaming_mentions_incremental(spark, fx_t1, tmp_path_factory):
     schema = t["documents"].schema
     out_dir = str(tmp_path_factory.mktemp("m_out"))
     ckpt = str(tmp_path_factory.mktemp("m_ckpt"))
-    m = streaming_mentions(spark, os.path.join(fx_t1, "documents.parquet"),
-                           keys, schema)
+    docs_dir = _stream_dir(tmp_path_factory,
+                           os.path.join(fx_t1, "documents.parquet"))
+    m = streaming_mentions(spark, docs_dir, keys, schema)
     q = (
         m.writeStream.format("parquet")
         .option("path", out_dir).option("checkpointLocation", ckpt)
