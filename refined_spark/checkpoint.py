@@ -116,8 +116,8 @@ def run_pipeline_checkpointed(
     stage materialized + manifested, resumable mid-pipeline."""
     from .operators.candidates import generate_candidates
     from .operators.clustering import cluster_mentions
-    from .operators.extract import with_extracted_text
-    from .operators.mentions import detect_mentions, mentions_from_spans
+    from .operators.extract import extracted_text_col, with_extracted_text
+    from .operators.mentions import detect_mention_rows, mentions_from_spans
     from .operators.scoring import extract_links, score_candidates
     from .pipeline import load_tables, load_weights, match_dictionary
 
@@ -125,17 +125,19 @@ def run_pipeline_checkpointed(
     runner = CheckpointRunner(
         spark, run_dir, run_inputs=dict(fixture_dir=fixture_dir, mode=mode))
 
-    docs = lambda: with_extracted_text(t["documents"]).withColumn(  # noqa: E731
-        "text", F.col("extracted")).drop("extracted")
-
     def build_mentions():
-        d = docs()
         if mode == "spans":
-            return mentions_from_spans(d, t["gold_spans"])
-        return detect_mentions(
-            spark, d, match_dictionary(t["pem"], t["entity"]))
+            docs = with_extracted_text(t["documents"]).select(
+                "url", F.col("extracted").alias("text"))
+            return mentions_from_spans(docs, t["gold_spans"])
+        docs = t["documents"].withColumn(
+            "text", extracted_text_col("html"))
+        return detect_mention_rows(
+            spark, docs, match_dictionary(t["pem"], t["entity"]))
 
     mentions = runner.stage("mentions", build_mentions)
+    # the checkpointed candidates table includes the NULL-qcode sentinel
+    # rows (one per no-candidate mention) — the links stage needs them
     candidates = runner.stage(
         "candidates",
         lambda: generate_candidates(mentions, t["pem"], t["entity"]))
@@ -144,8 +146,7 @@ def run_pipeline_checkpointed(
         "links",
         lambda: extract_links(
             score_candidates(candidates, mentions, t["entity"],
-                             t["entity_emb"], t["topic_class"], weights),
-            mentions))
+                             t["entity_emb"], t["topic_class"], weights)))
     clusters = runner.stage("clusters", lambda: cluster_mentions(links))
     return dict(mentions=mentions, candidates=candidates, links=links,
                 clusters=clusters, runner=runner, tables=t)

@@ -27,7 +27,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -75,7 +74,8 @@ def direct_candidates(mentions: DataFrame, pem: DataFrame, entity: DataFrame,
     return m.join(p, m.norm_sf == p.surface_form, "left").drop("surface_form")
 
 
-def with_person_coref(direct: DataFrame) -> DataFrame:
+def with_person_coref(direct: DataFrame,
+                      mentions: DataFrame | None = None) -> DataFrame:
     """Person-name coreference, fully declarative (zero Python in the path).
 
     The reference threads a per-doc dict sequentially
@@ -88,21 +88,29 @@ def with_person_coref(direct: DataFrame) -> DataFrame:
     - only single-word surfaces can RECEIVE (dict keys are single words);
     - a receiver sees the LATEST registration before it in start order.
 
-    So: registrations = explode(words of registering mentions);
-    receiver x registration equi-join on (url, word) with
-    start_reg < start_recv; "latest wins" = max(start_reg) window; the
-    reference's stable merge sort + unique-by-qcode becomes a sort key
-    (-prob, source_order, origin_rank) + row_number dedup — byte-exact
-    with the sequential semantics (capping preserves the descending
-    order, so the sort reproduces registration order for coref-only
-    mentions).
+    Physical shape — exactly TWO shuffles:
 
-    Scale: one (url, word) equi-join + per-mention windows — shuffles
-    co-partitioned with the blocking join; no per-group Python (the
-    applyInPandas variant, kept as `with_person_coref_python` for
-    cross-checking, spent ~40 core-ms per document on pandas overhead).
+    1. receiver x registration equi-join on (url, word) with
+       start_reg < start_recv as residual;
+    2. one ``groupBy(mention_key)`` hash aggregation; everything the
+       reference does sequentially per doc — latest-registration wins,
+       stable merge by (-prob, source_order, origin_rank), first-
+       occurrence dedup by qcode, top-30 truncation, rank assignment —
+       happens in JVM array expressions over the collected candidate
+       list (<=60 elements), codegen'd, no sort-based windows.
+
+    (Sort keys form a total order per mention: ranks are distinct within
+    a source and src_order splits the sources, so sort_array is exact.)
+    The earlier window formulation spent 3 extra full-table shuffles
+    (latest-reg window, dedup window, rank window); at 10^12 docs each of
+    those is a petabyte-class reshuffle of the candidate table.
+
+    ``mentions``: pass the (persisted) mentions table to avoid a
+    distinct() over the exploded candidate rows for the receiver side.
     """
-    m_cols = ["url", "start", "norm_sf", "mention_key"]
+    # keep null-qcode rows: a mention with no candidates must still reach
+    # the scoring/link stage (explode_outer below re-emits it), so the
+    # link extractor never needs to join the mentions table back in
     cand = direct.where(F.col("qcode").isNotNull())
 
     # registrations: one row per (word of registering surface, human cand)
@@ -123,46 +131,85 @@ def with_person_coref(direct: DataFrame) -> DataFrame:
     )
 
     # receivers: single-word mentions (dict keys are single words)
-    recv = (
-        direct.select(*m_cols).distinct()
-        .where(~F.col("norm_sf").contains(" "))
-    )
+    m_cols = ["url", "start", "norm_sf", "mention_key"]
+    if mentions is not None:
+        recv = mentions.select(*m_cols)
+    else:
+        recv = direct.select(*m_cols).distinct()
+    recv = recv.where(~F.col("norm_sf").contains(" "))
     joined = recv.join(
         reg,
         (recv.url == reg.url) & (recv.norm_sf == reg.word)
         & (reg.start_reg < recv.start),
     ).drop(reg.url)
-    w_last = Window.partitionBy("mention_key")
-    indirect = (
-        joined.withColumn("max_reg", F.max("start_reg").over(w_last))
-        .where(F.col("start_reg") == F.col("max_reg"))
-        .select(
-            "url", "start", "norm_sf", "mention_key",
-            F.col("c_qcode").alias("qcode"),
-            F.col("c_prob").alias("prob"),
-            F.lit("coref").alias("cand_source"),
-            F.lit(1).alias("src_order"),
-            F.col("c_rank").alias("orig_rank"),
-        )
+    indirect = joined.select(
+        "url", "start", "mention_key",
+        F.col("c_qcode").alias("qcode"),
+        F.col("c_prob").alias("prob"),
+        F.lit("coref").alias("cand_source"),
+        F.lit(1).alias("src_order"),
+        F.col("c_rank").alias("orig_rank"),
+        F.col("start_reg"),
     )
     direct_rows = cand.select(
-        "url", "start", "norm_sf", "mention_key", "qcode", "prob",
+        "url", "start", "mention_key", "qcode", "prob",
         F.lit("direct").alias("cand_source"),
         F.lit(0).alias("src_order"),
         F.col("rank").alias("orig_rank"),
+        F.lit(None).cast("int").alias("start_reg"),
     )
-    merged = direct_rows.unionByName(indirect)
+    # mentions whose blocking join found nothing: carried through with a
+    # NULL qcode so downstream stages see every mention without a join
+    # back to the mentions table (the NULL row is dropped from the
+    # candidate array; posexplode_outer re-emits it as a NULL candidate)
+    nocand_rows = direct.where(F.col("qcode").isNull()).select(
+        "url", "start", "mention_key", "qcode",
+        F.col("prob"),
+        F.lit(None).cast("string").alias("cand_source"),
+        F.lit(2).alias("src_order"),
+        F.lit(None).cast("int").alias("orig_rank"),
+        F.lit(None).cast("int").alias("start_reg"),
+    )
+    merged = direct_rows.unionByName(indirect).unionByName(nocand_rows)
 
-    order = [F.desc("prob"), F.asc("src_order"), F.asc("orig_rank")]
-    w_q = Window.partitionBy("mention_key", "qcode").orderBy(*order)
-    w_m = Window.partitionBy("mention_key").orderBy(*order)
+    collected = (
+        merged.groupBy("mention_key")
+        .agg(F.first("url").alias("url"),
+             F.first("start").alias("start"),
+             F.sort_array(F.collect_list(F.struct(
+                 (-F.col("prob")).alias("negp"),
+                 F.col("src_order"),
+                 F.col("orig_rank"),
+                 F.col("qcode"),
+                 F.col("prob"),
+                 F.col("cand_source"),
+                 F.col("start_reg"),
+             ))).alias("arr"))
+    )
+    # latest registration wins; first occurrence per qcode; top-30
+    staged = (
+        collected
+        .withColumn("maxreg", F.expr(
+            "array_max(transform(filter(arr, c -> c.cand_source = 'coref'),"
+            " c -> c.start_reg))"))
+        .withColumn("arr1", F.expr(
+            "filter(arr, x -> x.qcode IS NOT NULL AND"
+            " (x.cand_source = 'direct' OR x.start_reg = maxreg))"))
+        .withColumn("arr2", F.expr(
+            "filter(arr1, (x, i) -> i = 0 OR NOT exists("
+            "slice(arr1, 1, i), y -> y.qcode = x.qcode))"))
+    )
+    final_arr = F.expr(f"slice(arr2, 1, {config.MAX_CANDIDATES})")
     return (
-        merged.withColumn("dup_rn", F.row_number().over(w_q))
-        .where(F.col("dup_rn") == 1)
-        .withColumn("cand_rank", F.row_number().over(w_m).cast("int"))
-        .where(F.col("cand_rank") <= config.MAX_CANDIDATES)
-        .select("url", F.col("start").cast("int").alias("start"), "qcode",
-                "prob", "cand_source", "cand_rank")
+        staged.select(
+            "mention_key", "url", "start",
+            F.posexplode_outer(final_arr).alias("pos", "c"))
+        .select("url", F.col("start").cast("int").alias("start"),
+                "mention_key",
+                F.col("c.qcode").alias("qcode"),
+                F.col("c.prob").alias("prob"),
+                F.col("c.cand_source").alias("cand_source"),
+                (F.col("pos") + 1).cast("int").alias("cand_rank"))
     )
 
 
@@ -238,5 +285,6 @@ def generate_candidates(mentions: DataFrame, pem: DataFrame,
                         broadcast_pem: bool = True) -> DataFrame:
     """M2+M3+M4 composed."""
     return with_person_coref(
-        direct_candidates(mentions, pem, entity, broadcast_pem=broadcast_pem)
+        direct_candidates(mentions, pem, entity, broadcast_pem=broadcast_pem),
+        mentions=mentions,
     )

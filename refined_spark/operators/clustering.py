@@ -30,12 +30,13 @@ from pyspark.sql import functions as F
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
-    """Symmetric edge list (u,v) as undirected (big, small) pairs, distinct."""
+    """Orient (u,v) as (big, small). Pure map — NO distinct: every star
+    round aggregates with collect_set, which dedups for free; paying a
+    full shuffle per round just to pre-shrink duplicates costs more than
+    carrying them one hop (they collapse at the next groupBy anyway)."""
     e = edges.selectExpr("u", "v").where(F.col("u") != F.col("v"))
-    return (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-    )
+    return e.select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -71,7 +72,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges: (u BIGINT, v BIGINT). Returns (node BIGINT, component BIGINT)
     with component = min node id of the component."""
-    cur = _canonical_edges(edges).localCheckpoint()
+    # no checkpoint before round 1: _canonical_edges is a pure map now,
+    # so materializing it separately would only add a barrier
+    cur = _canonical_edges(edges)
     prev_sig = None
     for _i in range(max_iter):
         cur = _canonical_edges(_small_star(_large_star(cur)))
@@ -92,11 +95,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return members.union(roots).distinct()
 
 
-def cluster_mentions(links: DataFrame) -> DataFrame:
-    """links: (url, start, mention_key, pred_qcode NULLABLE).
+def cluster_mentions(links: DataFrame,
+                     pair_edges: DataFrame | None = None) -> DataFrame:
+    """links: (url, start, mention_key, pred_qcode NULLABLE);
+    pair_edges (optional): accepted mention-mention pairs
+    (key_a STRING, key_b STRING), e.g. LSH-block pairs with score >= tau.
 
     Returns (url, start, cluster_id STRING) where cluster_id is the min
     mention_key of the transitive cluster; unlinked mentions are singletons.
+
+    Scale design — STAR CONTRACTION before the iterative CC:
+    the mention->entity assignment edges form a bipartite star set by
+    construction (every mention has at most ONE predicted entity), so
+    they contribute nothing iterative to the closure — running
+    large-star/small-star over all 10^12 of them would shuffle the full
+    mention table per round. Instead the graph is contracted to the
+    ENTITY level first (each mention-mention pair edge becomes an edge
+    between the two anchors' components-by-assignment), the iterative
+    large-star/small-star closure runs on that contracted graph —
+    |entities| nodes, |accepted pairs| edges, orders of magnitude
+    smaller — and one join expands components back over mentions.
+    This is exactly one large-star application done algebraically; the
+    generic iterations still handle arbitrary pair topologies.
     """
     nodes = links.select(
         "url", "start", "mention_key",
@@ -105,15 +125,32 @@ def cluster_mentions(links: DataFrame) -> DataFrame:
                F.xxhash64(F.concat(F.lit("e:"), F.col("pred_qcode"))))
         .alias("eid"),
     )
-    edges = (
-        nodes.where(F.col("eid").isNotNull())
-        .select(F.col("nid").alias("u"), F.col("eid").alias("v"))
-    )
-    comp = connected_components(edges)
-    with_comp = nodes.join(comp, nodes.nid == comp.node, "left").select(
+    # anchor of a mention = its entity if assigned, else itself
+    anchored = nodes.select(
         "url", "start", "mention_key",
-        F.coalesce("component", "nid").alias("component"),
-    )
+        F.coalesce("eid", "nid").alias("anchor"))
+
+    if pair_edges is not None:
+        a = anchored.select(F.col("mention_key").alias("key_a"),
+                            F.col("anchor").alias("u"))
+        b = anchored.select(F.col("mention_key").alias("key_b"),
+                            F.col("anchor").alias("v"))
+        contracted = (pair_edges.join(a, "key_a").join(b, "key_b")
+                      .select("u", "v"))
+        comp = connected_components(contracted)
+        with_comp = anchored.join(
+            comp, anchored.anchor == comp.node, "left"
+        ).select(
+            "url", "start", "mention_key",
+            F.coalesce("component", "anchor").alias("component"),
+        )
+    else:
+        # no pair edges: the contracted graph is empty, so the closure is
+        # the identity on anchors — skip the (empty) iterations outright
+        with_comp = anchored.select(
+            "url", "start", "mention_key",
+            F.col("anchor").alias("component"),
+        )
     cluster_ids = with_comp.groupBy("component").agg(
         F.min("mention_key").alias("cluster_id")
     )

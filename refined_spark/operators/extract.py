@@ -34,6 +34,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
@@ -96,6 +97,53 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def with_extracted_text(documents: DataFrame, out_col: str = "extracted") -> DataFrame:
-    """documents(url, warc_ts, html, text, lang) -> + extracted STRING."""
-    return documents.withColumn(out_col, extract_text_udf(documents["html"]))
+def extracted_text_col(html_col):
+    """JVM (WholeStageCodegen) restatement of :func:`extract_text` as a
+    regexp_replace chain — byte-identical to the Python parser on the
+    well-formed HTML class the corpus contract covers (block/inline tags,
+    script/style subtrees, html.escape entity refs; no conditional
+    comments, no '>' inside attribute values). pytest cross-checks every
+    fixture and driver-testdata document against the Python oracle.
+
+    Why: extraction is the widest map stage of every run; the parser
+    version burns ~40us of allocation-heavy Python per document, which is
+    the worst-scaling workload on a memory-bound host. The JVM chain runs
+    inside codegen, never leaves the scan stage, and keeps the Python
+    implementation as the executable spec.
+    """
+    nul = chr(0)  # block-boundary sentinel (never in corpus text)
+    s = F.col(html_col).cast("string") if isinstance(html_col, str) else \
+        html_col.cast("string")
+    # 1. drop script/style subtrees (incl. unclosed-to-EOF, parser parity)
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "")
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*$", "")
+    # 2. block-level tags (open or close) become sentinel block marks —
+    #    distinct from literal newlines, which are plain whitespace
+    s = F.regexp_replace(
+        s, r"(?i)</?(p|h[1-6]|li|div|title|br)\b[^>]*/?>", nul)
+    # 3. strip remaining (inline) tags
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
+    # 4. entity references (html.escape set + apostrophe variants);
+    #    &amp; LAST = single-pass semantics of convert_charrefs
+    for ref, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#x27;", "'"), ("&#39;", "'"), ("&apos;", "'"),
+                    ("&amp;", "&")):
+        s = F.replace(s, F.lit(ref), F.lit(ch))
+    # 5. collapse whitespace runs within blocks, trim each block, drop
+    #    empty blocks, join the blocks with newline
+    s = F.regexp_replace(s, "[ \\t\\r\\n\\f\\x0B]+", " ")
+    s = F.regexp_replace(s, " ?" + nul + " ?", nul)
+    s = F.regexp_replace(s, nul + "+", nul)
+    s = F.regexp_replace(s, "^[" + nul + " ]+|[" + nul + " ]+$", "")
+    return F.replace(s, F.lit(nul), F.lit("\n"))
+
+
+def with_extracted_text(documents: DataFrame, out_col: str = "extracted",
+                        jvm: bool = True) -> DataFrame:
+    """documents(url, warc_ts, html, text, lang) -> + extracted STRING.
+
+    ``jvm=True`` (default): codegen regexp chain; ``jvm=False``: the
+    Python reference parser as an Arrow UDF (the executable spec)."""
+    col = (extracted_text_col("html") if jvm
+           else extract_text_udf(documents["html"]))
+    return documents.withColumn(out_col, col)

@@ -176,3 +176,94 @@ def detect_mentions(spark, documents: DataFrame,
         .withColumn("mention_key", mention_id_col())
         .drop("text")
     )
+
+
+# Java regex \w is ASCII; Python's is Unicode — pin to ASCII for parity
+# with attach_context's JVM regexp_extract.
+_CTX_RE = re.compile(r"^ \((\w+)\)", re.ASCII)
+
+_MENTION_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("start", IntegerType()),
+    StructField("length", IntegerType()),
+    StructField("mention_text", StringType()),
+    StructField("norm_sf", StringType()),
+    StructField("ctx_word", StringType()),
+    StructField("mention_key", StringType()),
+])
+
+
+def _mention_rows_runner(bc, from_html: bool):
+    """Shared mapInPandas body: (url, html|text) batches -> mention rows."""
+    from ..functions.normalize import normalize_surface_form
+    from .extract import extract_text
+
+    def run(batches):
+        d, fw = bc.value
+        tok_cache = _TOKEN_NORM_CACHE
+        phrase_cache: dict[str, str] = {}
+        for pdf in batches:
+            urls, starts, lengths, texts_m, norms, ctxs, mkeys = (
+                [], [], [], [], [], [], [])
+            src = pdf["html"] if from_html else pdf["text"]
+            for url, payload in zip(pdf["url"], src):
+                text = extract_text(payload) if from_html else (payload or "")
+                for off, ln, phrase in _match_doc(text, d, fw, tok_cache):
+                    nrm = phrase_cache.get(phrase)
+                    if nrm is None:
+                        nrm = normalize_surface_form(phrase)
+                        if len(phrase_cache) < 1_000_000:
+                            phrase_cache[phrase] = nrm
+                    m = _CTX_RE.match(text[off + ln:off + ln + 64])
+                    urls.append(url)
+                    starts.append(off)
+                    lengths.append(ln)
+                    texts_m.append(phrase)
+                    norms.append(nrm)
+                    ctxs.append(m.group(1) if m else None)
+                    # f"{off:08d}"[:8] == Spark lpad(_, 8, '0') exactly
+                    mkeys.append(f"{url}:" + f"{off:08d}"[:8])
+            yield pd.DataFrame(dict(
+                url=urls, start=pd.array(starts, dtype="int32"),
+                length=pd.array(lengths, dtype="int32"),
+                mention_text=texts_m, norm_sf=norms, ctx_word=ctxs,
+                mention_key=mkeys))
+
+    return run
+
+
+def detect_mention_rows(spark, documents: DataFrame,
+                        match_keys: list[str],
+                        text_col: str = "text") -> DataFrame:
+    """One-Arrow-crossing mention detection over an existing text column
+    (e.g. the JVM extraction output): text in, mention rows out. Same
+    output as :func:`fused_extract_detect`; use when extraction already
+    ran JVM-side so only the dictionary matcher needs Python."""
+    keys = {k for k in match_keys if k}
+    first_words = {k.split(" ", 1)[0] for k in keys}
+    bc = spark.sparkContext.broadcast((keys, first_words))
+    run = _mention_rows_runner(bc, from_html=False)
+    return (documents.select("url", F.col(text_col).alias("text"))
+            .mapInPandas(run, _MENTION_SCHEMA))
+
+
+def fused_extract_detect(spark, documents: DataFrame,
+                         match_keys: list[str]) -> DataFrame:
+    """E2e fast path: html -> text -> spans -> normalized mention rows in
+    ONE Arrow crossing (`mapInPandas`), byte-equal to the composed
+    extract -> detect -> attach_context -> normalize pipeline (pinned by
+    tests/test_pipeline_parity.py).
+
+    Why: the composed path moves every document's text across the
+    JVM<->Python boundary twice and every mention once more for
+    normalization; on a memory-bandwidth-bound box that traffic — not
+    compute — dominates the pipeline front end. Here html enters, only
+    mention rows (two orders of magnitude smaller) leave, and the raw
+    corpus is never shuffled at all (scan partitions feed the UDF
+    directly; downstream stages shuffle the small mention rows by url).
+    """
+    keys = {k for k in match_keys if k}
+    first_words = {k.split(" ", 1)[0] for k in keys}
+    bc = spark.sparkContext.broadcast((keys, first_words))
+    run = _mention_rows_runner(bc, from_html=True)
+    return documents.select("url", "html").mapInPandas(run, _MENTION_SCHEMA)

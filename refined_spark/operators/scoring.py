@@ -70,13 +70,26 @@ def score_candidates(
     """
     ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
     emb = entity_emb.select("qcode_idx", "desc_emb")
-    if broadcast_emb:
-        ent_dim = F.broadcast(ent_dim)
-        emb = F.broadcast(emb)
 
-    m = mentions.select("url", "start", "ctx_word", "mention_key")
-    cand = (
-        candidates.join(m, ["url", "start"])
+    # candidates carry mention_key out of the coref aggregation (already
+    # hash-partitioned on it) — joining on mention_key instead of
+    # (url, start) lets Catalyst reuse that partitioning: only the small
+    # mentions projection shuffles.
+    m = mentions.select("ctx_word", "mention_key")
+    cand = candidates.join(m, ["mention_key"])
+
+    # The expensive features (300-dim dot product, class-set membership)
+    # depend ONLY on (ctx_word, qcode) — never on the individual mention.
+    # Mention surfaces are Zipfian, so at corpus scale the same pair
+    # recurs millions of times; evaluating array math per candidate row
+    # would redo identical work per repeat. Dedup to the distinct
+    # observed pairs (one small shuffle), run the heavy math once per
+    # pair, and hash-join the resulting SCALARS back. This is the same
+    # materialize-then-join move the reference makes for description
+    # embeddings (processor.py:525-553), one level further.
+    pairs = cand.select("ctx_word", "qcode").distinct()
+    pair_feats = (
+        pairs
         .join(ent_dim, "qcode", "left")
         .join(emb, "qcode_idx", "left")
         .join(F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
@@ -84,7 +97,6 @@ def score_candidates(
               "ctx_word", "left")
         .join(F.broadcast(ctx_embeddings(mentions)), "ctx_word", "left")
     )
-
     desc_nonzero = F.exists("desc_emb", lambda x: x != 0.0)
     dot = F.aggregate(
         F.zip_with("desc_emb", "ctx_emb",
@@ -105,59 +117,80 @@ def score_candidates(
             "class_idx", F.col("t_class_idx").cast("smallint")
         ).cast("double"))
     )
+    pair_feats = pair_feats.select(
+        "ctx_word", "qcode",
+        desc_score.alias("desc_score"),
+        overlap.alias("class_overlap"),
+    )
+    if broadcast_emb:
+        # distinct (surface-context, entity) pairs ~ alias-table-sized
+        pair_feats = F.broadcast(pair_feats)
+
+    # left join: NULL-candidate mention rows (kept by the coref stage so
+    # links never re-join the mentions table) pass through with NULL logit
+    joined = cand.join(
+        pair_feats,
+        cand["ctx_word"].eqNullSafe(pair_feats["ctx_word"])
+        & (cand["qcode"] == pair_feats["qcode"]),
+        "left",
+    ).drop(pair_feats["ctx_word"]).drop(pair_feats["qcode"])
+
     logit_raw = (
-        F.lit(weights["class_overlap"]) * overlap
+        F.lit(weights["class_overlap"]) * F.col("class_overlap")
         + F.lit(weights["pem"]) * F.col("prob")
-        + F.lit(weights["class_dist"]) * (F.lit(1.0) - overlap)
-        + F.lit(weights["desc_score"]) * desc_score
+        + F.lit(weights["class_dist"]) * (F.lit(1.0) - F.col("class_overlap"))
+        + F.lit(weights["desc_score"]) * F.col("desc_score")
         + F.lit(weights["bias"])
     )
     logit = F.when(F.col("prob") == 0.0,
                    F.lit(config.PEM_ZERO_MASK)).otherwise(logit_raw)
     return (
-        cand.withColumn("desc_score", desc_score)
-        .withColumn("class_overlap", overlap)
-        .withColumn("logit", logit)
+        joined.withColumn("logit", logit)
         .select("url", "start", "mention_key", "qcode", "prob", "cand_source",
                 "cand_rank", "desc_score", "class_overlap", "logit")
     )
 
 
-def extract_links(scored: DataFrame, mentions: DataFrame,
+def extract_links(scored: DataFrame,
                   threshold: float = config.ED_THRESHOLD) -> DataFrame:
     """Softmax (incl. NOTA logit 0) + argmax + ED threshold per mention.
 
-    ONE hash aggregation per mention (no sort-based windows):
+    ONE hash aggregation per mention (no sort-based windows, no join back
+    to the mentions table — NULL-candidate rows flow through the scored
+    table, so every mention is present here by construction):
     ``max_by(candidate, (logit, -cand_rank))`` is the argmax with the
     reference's first-occurrence tie-break (candidates precede NOTA,
-    processor.py:330-334), and ``sum(exp(logit)) + 1`` is the softmax
-    denominator with the NOTA term. The unshifted exp is safe here:
-    logits are bounded (|w|·|features| ≈ 10) and the masks (-100 / -1e8)
-    underflow to 0 exactly as the stable form would.
+    processor.py:330-334) — max_by skips rows whose ordering key is NULL,
+    which drops the no-candidate sentinel rows exactly; ``sum(exp(logit))
+    + 1`` is the softmax denominator with the NOTA term. The unshifted
+    exp is safe here: logits are bounded (|w|·|features| ≈ 10) and the
+    masks (-100 / -1e8) underflow to 0 exactly as the stable form would.
 
     Output: (url, start, mention_key, pred_qcode NULLABLE, confidence);
     every mention gets a row (no-candidate mentions -> NULL, conf 0.0).
     """
     agg = scored.groupBy("mention_key").agg(
+        F.first("url").alias("url"),
+        F.first("start").alias("start"),
         F.max("logit").alias("mx"),
         F.sum(F.exp("logit")).alias("sum_exp"),
         F.max_by(
             F.col("qcode"),
-            F.struct(F.col("logit"), (-F.col("cand_rank")).alias("nr")),
+            F.when(F.col("logit").isNotNull(),
+                   F.struct(F.col("logit"),
+                            (-F.col("cand_rank")).alias("nr"))),
         ).alias("win_qcode"),
     )
     denom = F.col("sum_exp") + F.lit(1.0)  # + exp(0) for NOTA
     conf_win = F.exp(F.col("mx")) / denom
-    top = agg.select(
-        "mention_key",
+    return agg.select(
+        "url", "start", "mention_key",
         # NOTA wins only when strictly greater than every candidate logit
         F.when((F.col("mx") >= 0.0) & (conf_win >= threshold),
                F.col("win_qcode")).alias("pred_qcode"),
-        F.when(F.col("mx") >= 0.0, conf_win)
-        .otherwise(F.lit(1.0) / denom).alias("confidence"),
-    )
-    all_m = mentions.select("url", "start", "mention_key")
-    return (
-        all_m.join(top, "mention_key", "left")
-        .na.fill({"confidence": 0.0})
+        F.coalesce(
+            F.when(F.col("mx") >= 0.0, conf_win)
+            .otherwise(F.lit(1.0) / denom),
+            F.lit(0.0),  # no candidates at all: mx NULL -> conf 0.0
+        ).alias("confidence"),
     )

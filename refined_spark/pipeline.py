@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from . import config
 from .operators.candidates import generate_candidates
 from .operators.clustering import cluster_mentions
-from .operators.extract import with_extracted_text
-from .operators.mentions import detect_mentions, mentions_from_spans
+from .operators.extract import extracted_text_col, with_extracted_text
+from .operators.mentions import detect_mention_rows, mentions_from_spans
 from .operators.scoring import extract_links, score_candidates
 
 
@@ -43,17 +43,13 @@ def load_tables(spark: SparkSession, fixture_dir: str) -> dict[str, DataFrame]:
         n: spark.read.parquet(os.path.join(fixture_dir, f"{n}.parquet"))
         for n in names
     }
-    # The fact tables arrive as a handful of tightly-compressed parquet
-    # files; without an explicit spread the extraction/normalization UDF
-    # stages run on however many input splits the scan produced (1-2
-    # locally), capping parallelism no matter the core count. Hash-
-    # repartitioning on url costs one tiny shuffle and co-partitions
-    # documents with the mentions/coref stages that group by url anyway.
-    # On a real cluster the corpus is thousands of files and this spread
-    # is a no-op cost-wise (or replaced by the table's bucketing).
-    par = spark.sparkContext.defaultParallelism
-    t["documents"] = t["documents"].repartition(par, "url")
-    t["gold_spans"] = t["gold_spans"].repartition(par, "url")
+    # Parallelism comes from the SCAN, never from shuffling the raw corpus:
+    # the fixture generator shards documents/gold_spans into many files
+    # (real corpora are thousands of files), so map stages (extraction,
+    # mention detection) run at full width with zero shuffle of html bytes.
+    # Downstream stages shuffle only the small mention/candidate rows on
+    # their natural keys (url, mention_key) — repartitioning the raw html
+    # here would move the entire corpus through the shuffle for nothing.
     return t
 
 
@@ -93,22 +89,40 @@ def run_pipeline(
     process_text(spans=...) semantics). mode='e2e': dictionary MD.
     """
     t = load_tables(spark, fixture_dir)
-    docs = with_extracted_text(t["documents"]).withColumn(
-        "text", F.col("extracted")).drop("extracted")
 
     if mode == "spans":
+        # extraction runs map-side on scan partitions; only (url, text)
+        # reaches the spans join shuffle — html never leaves the scan
+        docs = with_extracted_text(t["documents"]).select(
+            "url", F.col("extracted").alias("text"))
         mentions = mentions_from_spans(docs, t["gold_spans"])
     else:
-        mentions = detect_mentions(
+        # extraction runs JVM-side inside the scan stage (codegen regexp
+        # chain, golden-checked vs the Python parser); only the dictionary
+        # matcher crosses to Python — one Arrow hop, text in, mention
+        # rows out
+        docs = t["documents"].withColumn(
+            "text", extracted_text_col("html"))
+        mentions = detect_mention_rows(
             spark, docs, match_dictionary(t["pem"], t["entity"]))
 
-    candidates = generate_candidates(
+    # The mentions subtree (html parse + dictionary match — the most
+    # expensive map stage) is referenced by candidates, scoring AND links;
+    # without persistence the final action recomputes it three times.
+    # At cluster scale the equivalent is the checkpointed stage table
+    # (checkpoint.py); locally an in-memory persist.
+    mentions = mentions.persist()
+    # cand_all keeps no-candidate mentions as NULL-qcode rows so the link
+    # stage never joins the mentions table back in; the public candidates
+    # table filters them (free: same aggregation, a filter on top)
+    cand_all = generate_candidates(
         mentions, t["pem"], t["entity"], broadcast_pem=broadcast_pem)
+    candidates = cand_all.where(F.col("qcode").isNotNull())
     weights = load_weights(t["ed_weights"])
     scored = score_candidates(
-        candidates, mentions, t["entity"], t["entity_emb"],
+        cand_all, mentions, t["entity"], t["entity_emb"],
         t["topic_class"], weights, broadcast_emb=broadcast_emb)
-    links = extract_links(scored, mentions)
+    links = extract_links(scored).persist()
     clusters = cluster_mentions(links)
     return dict(mentions=mentions, candidates=candidates, scored=scored,
                 links=links, clusters=clusters, tables=t)

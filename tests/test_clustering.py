@@ -60,3 +60,24 @@ def test_cluster_mentions_singletons_and_transitivity(spark):
     assert by_url["u4"] == "u4:00000000"
     assert by_url["u5"] == "u5:00000000"
     assert len(out) == 5
+
+def test_pair_edges_merge_clusters(spark):
+    """Accepted mention-mention pair edges must merge entity clusters
+    through the contracted CC path."""
+    links = spark.createDataFrame(
+        [("u1", 10, "u1:10", "Q1"), ("u2", 20, "u2:20", "Q2"),
+         ("u3", 30, "u3:30", "Q2"), ("u4", 40, "u4:40", None)],
+        "url: string, start: int, mention_key: string, pred_qcode: string")
+    pairs = spark.createDataFrame([("u1:10", "u2:20")],
+                                  "key_a: string, key_b: string")
+    no_pairs = {r["url"]: r["cluster_id"]
+                for r in cluster_mentions(links).collect()}
+    # Q1 and Q2 clusters separate; u4 singleton
+    assert no_pairs["u2"] == no_pairs["u3"] != no_pairs["u1"]
+    assert no_pairs["u4"] not in (no_pairs["u1"], no_pairs["u2"])
+
+    merged = {r["url"]: r["cluster_id"]
+              for r in cluster_mentions(links, pair_edges=pairs).collect()}
+    # the pair edge bridges Q1 and Q2 transitively: u1,u2,u3 one cluster
+    assert merged["u1"] == merged["u2"] == merged["u3"] == "u1:10"
+    assert merged["u4"] != merged["u1"]

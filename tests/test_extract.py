@@ -32,3 +32,46 @@ def test_extract_byte_identical_spark(spark, fx_t1):
     mismatches = out.filter("extracted <> text").count()
     assert mismatches == 0
     assert out.count() == docs.count()
+
+def test_jvm_extraction_matches_python_oracle(spark, fx_t1, fx_t2):
+    """The codegen regexp-chain extractor must be byte-identical to the
+    stdlib-parser oracle on every corpus document (per-url invariant).
+    (Driver testdata documents carry pre-extracted text, no html.)"""
+    import os
+
+    from refined_spark.operators.extract import extract_text, extracted_text_col
+
+    for src in (os.path.join(fx_t1, "documents.parquet"),
+                os.path.join(fx_t2, "documents.parquet")):
+        docs = spark.read.parquet(src)
+        got = {r["url"]: r["jvm"] for r in docs.select(
+            "url", extracted_text_col("html").alias("jvm")).collect()}
+        for r in docs.select("url", "html").collect():
+            assert got[r["url"]] == extract_text(r["html"]), r["url"]
+
+
+def test_jvm_extraction_adversarial_cases(spark):
+    """Adversarial inputs within the documented HTML class."""
+    from refined_spark.operators.extract import extract_text, extracted_text_col
+
+    cases = [
+        "<html><body><p>a &amp;lt; b</p></body></html>",
+        "<p>one</p><p></p><p>  </p><p>two</p>",
+        "<p>pre<script>var x='<p>nope</p>';</script>post</p>",
+        "<p>unclosed<script>var y=1;",
+        "<P>Upper <B>case</B> TAGS</P>",
+        "<p>a<br>b<br/>c</p>",
+        "<li> spaced \t\n item </li>",
+        "text with no tags at all",
+        "  leading and trailing  ",
+        "<p>&quot;q&quot; &#x27;a&#x27; &amp; x</p>",
+        "<style>p {color: red}</style><p>visible</p>",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), c.encode()) for i, c in enumerate(cases)],
+        "url: string, html: binary")
+    got = {r["url"]: r["jvm"] for r in df.select(
+        "url", extracted_text_col("html").alias("jvm")).collect()}
+    for i, c in enumerate(cases):
+        assert got[str(i)] == extract_text(c.encode()), repr(c)

@@ -70,3 +70,28 @@ def test_e2e_mode_finds_matchable_mentions(spark, fx_t1):
     want = {(r["url"], r["start"], r["length"])
             for r in gold.where("dict_matchable").collect()}
     assert got == want
+
+def test_fused_detect_equals_composed_path(spark, fx_t1):
+    """fused_extract_detect (one Arrow crossing) must be row-identical to
+    extract -> detect_mentions -> attach_context -> normalize."""
+    import pyspark.sql.functions as F
+
+    from refined_spark.operators.extract import with_extracted_text
+    from refined_spark.operators.mentions import (
+        detect_mentions,
+        fused_extract_detect,
+    )
+    from refined_spark.pipeline import load_tables, match_dictionary
+
+    t = load_tables(spark, fx_t1)
+    keys = match_dictionary(t["pem"], t["entity"])
+    docs = with_extracted_text(t["documents"]).withColumn(
+        "text", F.col("extracted")).drop("extracted")
+    composed = {tuple(r) for r in detect_mentions(spark, docs, keys)
+                .select("url", "start", "length", "mention_text", "norm_sf",
+                        "ctx_word", "mention_key").collect()}
+    fused = {tuple(r) for r in fused_extract_detect(
+        spark, t["documents"], keys)
+        .select("url", "start", "length", "mention_text", "norm_sf",
+                "ctx_word", "mention_key").collect()}
+    assert fused == composed
