@@ -69,7 +69,7 @@ def run_headline_queries() -> dict[str, float]:
 
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 
 
 def main() -> None:
@@ -82,18 +82,22 @@ def main() -> None:
 
     # N -> 4N scaling evidence. The sandbox host's throughput fluctuates
     # ~2x on a minutes timescale (shared hypervisor), so a single A/B pair
-    # is a lottery ticket: each pair runs back-to-back (same host state)
-    # and we report the BEST pair = the machine's steady-state capability,
-    # plus every raw sample for transparency.
+    # is a lottery ticket (one observed pair measured "efficiency" 1.12 —
+    # physically impossible, pure host drift between legs). Each pair runs
+    # back-to-back (same host state); the reported figure is the MEDIAN
+    # pair efficiency, with every raw sample included for transparency.
     n, n4 = SCALE_N, SCALE_N * 4
     pairs = []
     for _ in range(SCALE_PAIRS):
         rn = run_worker(f"local[{n}]", n, fx, warm)
         rm = run_worker(f"local[{n4}]", n4, fx, warm)
         pairs.append((rn, rm))
-    best = max(pairs, key=lambda p: (p[0]["n_docs"] / p[1]["seconds"])
-               / (p[0]["n_docs"] / p[0]["seconds"]))
-    rn, rm = best
+
+    def pair_eff(p):
+        return (p[0]["seconds"] / p[1]["seconds"]) / 4.0
+
+    ordered = sorted(pairs, key=pair_eff)
+    rn, rm = ordered[len(ordered) // 2]
     thr_n = rn["n_docs"] / rn["seconds"]
     thr_m = rm["n_docs"] / rm["seconds"]
     eff = (thr_m / thr_n) / 4.0

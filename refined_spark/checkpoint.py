@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
 
+# Bumped whenever a stage's OUTPUT SCHEMA changes incompatibly; folded
+# into the fingerprint chain so a run_dir checkpointed by an older
+# pipeline recomputes instead of resuming with a stale layout (v2: the
+# candidates stage became the array-per-mention frame).
+PIPELINE_SCHEMA_VERSION = 2
+
 
 class CheckpointRunner:
     def __init__(self, spark: SparkSession, run_dir: str,
@@ -42,7 +48,9 @@ class CheckpointRunner:
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self._chain = hashlib.sha256(
-            json.dumps(run_inputs or {}, sort_keys=True).encode()
+            json.dumps({**(run_inputs or {}),
+                        "_schema_version": PIPELINE_SCHEMA_VERSION},
+                       sort_keys=True).encode()
         ).hexdigest()
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
@@ -114,11 +122,14 @@ def run_pipeline_checkpointed(
 ) -> dict:
     """The production entry point: same stages as run_pipeline, but each
     stage materialized + manifested, resumable mid-pipeline."""
-    from .operators.candidates import generate_candidates
+    from .operators.candidates import (
+        mention_candidate_arrays,
+        pem_surface_arrays,
+    )
     from .operators.clustering import cluster_mentions
     from .operators.extract import extracted_text_col, with_extracted_text
     from .operators.mentions import detect_mention_rows, mentions_from_spans
-    from .operators.scoring import extract_links, score_candidates
+    from .operators.scoring import links_from_logits, with_candidate_logits
     from .pipeline import load_tables, load_weights, match_dictionary
 
     t = load_tables(spark, fixture_dir)
@@ -136,17 +147,20 @@ def run_pipeline_checkpointed(
             spark, docs, match_dictionary(t["pem"], t["entity"]))
 
     mentions = runner.stage("mentions", build_mentions)
-    # the checkpointed candidates table includes the NULL-qcode sentinel
-    # rows (one per no-candidate mention) — the links stage needs them
+    # checkpointed candidates = the ARRAY frame (one row per mention with
+    # its merged candidate list) — parquet holds the nested type natively
+    # and the links stage resumes from it without re-aggregating
     candidates = runner.stage(
         "candidates",
-        lambda: generate_candidates(mentions, t["pem"], t["entity"]))
+        lambda: mention_candidate_arrays(
+            mentions, pem_surface_arrays(t["pem"], t["entity"])))
     weights = load_weights(t["ed_weights"])
     links = runner.stage(
         "links",
-        lambda: extract_links(
-            score_candidates(candidates, mentions, t["entity"],
-                             t["entity_emb"], t["topic_class"], weights)))
+        lambda: links_from_logits(
+            with_candidate_logits(candidates, t["entity"],
+                                  t["entity_emb"], t["topic_class"],
+                                  weights)))
     clusters = runner.stage("clusters", lambda: cluster_mentions(links))
     return dict(mentions=mentions, candidates=candidates, links=links,
                 clusters=clusters, runner=runner, tables=t)

@@ -52,7 +52,7 @@ TIERS = {
     # latency at the scaling-efficiency measurement levels (a 400k corpus
     # finishes its shuffle stages in ~1s — pure latency — at which point
     # N-vs-4N efficiency measures the driver, not the engine)
-    "bench": dict(n_stems=50, n_persons=60, n_docs=1_200_000, pair_cap=50,
+    "bench": dict(n_stems=50, n_persons=60, n_docs=2_400_000, pair_cap=50,
                   with_oracle=False, n_hot=35),
 }
 

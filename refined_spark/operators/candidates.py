@@ -40,6 +40,15 @@ from .. import config
 MENTION_COLS = ["url", "start", "length", "mention_text", "norm_sf",
                 "ctx_word", "mention_key"]
 
+
+def url_from_mention_key() -> F.Column:
+    """mention_key = url ':' lpad(start, 8, '0') — invert without a join."""
+    return F.expr("substring(mention_key, 1, length(mention_key) - 9)")
+
+
+def start_from_mention_key() -> F.Column:
+    return F.expr("cast(substring(mention_key, -8, 8) as int)")
+
 CANDIDATE_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("start", IntegerType()),
@@ -142,19 +151,22 @@ def with_person_coref(direct: DataFrame,
         (recv.url == reg.url) & (recv.norm_sf == reg.word)
         & (reg.start_reg < recv.start),
     ).drop(reg.url)
+    # Shuffle-volume discipline: url and start are DERIVABLE from
+    # mention_key (url ":" lpad(start,8)), so no shuffle below carries
+    # them — they are recomputed from the key after the final exchange.
+    # cand_source travels as a 1-byte code for the same reason. On the
+    # memory-bound shuffle path, row width is the scaling limiter.
     indirect = joined.select(
-        "url", "start", "mention_key",
+        "mention_key",
         F.col("c_qcode").alias("qcode"),
         F.col("c_prob").alias("prob"),
-        F.lit("coref").alias("cand_source"),
-        F.lit(1).alias("src_order"),
+        F.lit(1).cast("tinyint").alias("src_order"),  # 1 = coref
         F.col("c_rank").alias("orig_rank"),
         F.col("start_reg"),
     )
     direct_rows = cand.select(
-        "url", "start", "mention_key", "qcode", "prob",
-        F.lit("direct").alias("cand_source"),
-        F.lit(0).alias("src_order"),
+        "mention_key", "qcode", "prob",
+        F.lit(0).cast("tinyint").alias("src_order"),  # 0 = direct
         F.col("rank").alias("orig_rank"),
         F.lit(None).cast("int").alias("start_reg"),
     )
@@ -163,10 +175,9 @@ def with_person_coref(direct: DataFrame,
     # back to the mentions table (the NULL row is dropped from the
     # candidate array; posexplode_outer re-emits it as a NULL candidate)
     nocand_rows = direct.where(F.col("qcode").isNull()).select(
-        "url", "start", "mention_key", "qcode",
+        "mention_key", "qcode",
         F.col("prob"),
-        F.lit(None).cast("string").alias("cand_source"),
-        F.lit(2).alias("src_order"),
+        F.lit(2).cast("tinyint").alias("src_order"),
         F.lit(None).cast("int").alias("orig_rank"),
         F.lit(None).cast("int").alias("start_reg"),
     )
@@ -174,15 +185,12 @@ def with_person_coref(direct: DataFrame,
 
     collected = (
         merged.groupBy("mention_key")
-        .agg(F.first("url").alias("url"),
-             F.first("start").alias("start"),
-             F.sort_array(F.collect_list(F.struct(
+        .agg(F.sort_array(F.collect_list(F.struct(
                  (-F.col("prob")).alias("negp"),
                  F.col("src_order"),
                  F.col("orig_rank"),
                  F.col("qcode"),
                  F.col("prob"),
-                 F.col("cand_source"),
                  F.col("start_reg"),
              ))).alias("arr"))
     )
@@ -190,11 +198,11 @@ def with_person_coref(direct: DataFrame,
     staged = (
         collected
         .withColumn("maxreg", F.expr(
-            "array_max(transform(filter(arr, c -> c.cand_source = 'coref'),"
+            "array_max(transform(filter(arr, c -> c.src_order = 1),"
             " c -> c.start_reg))"))
         .withColumn("arr1", F.expr(
             "filter(arr, x -> x.qcode IS NOT NULL AND"
-            " (x.cand_source = 'direct' OR x.start_reg = maxreg))"))
+            " (x.src_order = 0 OR x.start_reg = maxreg))"))
         .withColumn("arr2", F.expr(
             "filter(arr1, (x, i) -> i = 0 OR NOT exists("
             "slice(arr1, 1, i), y -> y.qcode = x.qcode))"))
@@ -202,13 +210,15 @@ def with_person_coref(direct: DataFrame,
     final_arr = F.expr(f"slice(arr2, 1, {config.MAX_CANDIDATES})")
     return (
         staged.select(
-            "mention_key", "url", "start",
-            F.posexplode_outer(final_arr).alias("pos", "c"))
-        .select("url", F.col("start").cast("int").alias("start"),
+            "mention_key", F.posexplode_outer(final_arr).alias("pos", "c"))
+        .select(url_from_mention_key().alias("url"),
+                start_from_mention_key().alias("start"),
                 "mention_key",
                 F.col("c.qcode").alias("qcode"),
                 F.col("c.prob").alias("prob"),
-                F.col("c.cand_source").alias("cand_source"),
+                F.when(F.col("c.src_order") == 0, F.lit("direct"))
+                .when(F.col("c.src_order") == 1, F.lit("coref"))
+                .alias("cand_source"),
                 (F.col("pos") + 1).cast("int").alias("cand_rank"))
     )
 
@@ -287,4 +297,137 @@ def generate_candidates(mentions: DataFrame, pem: DataFrame,
     return with_person_coref(
         direct_candidates(mentions, pem, entity, broadcast_pem=broadcast_pem),
         mentions=mentions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-native candidate path (the production physical plan)
+# ---------------------------------------------------------------------------
+
+def pem_surface_arrays(pem: DataFrame, entity: DataFrame) -> DataFrame:
+    """(surface_form, pem_arr) — the alias table in the reference's own
+    deployment layout (LMDB value = rank-sorted candidate list per
+    surface, lmdb_wrapper.py:17-115): one row per surface form, the
+    candidates as a rank-sorted array. Broadcasting THIS instead of the
+    exploded (surface, qcode) rows lets candidate attachment happen with
+    zero row expansion."""
+    p = pem.join(F.broadcast(entity.select("qcode", "is_human")),
+                 "qcode", "left").na.fill({"is_human": False})
+    return p.groupBy("surface_form").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("rank").cast("int").alias("rank"),
+            "qcode", "prob", "is_human"))).alias("pem_arr"))
+
+
+_TAG_DIRECT = ("transform(coalesce(pem_arr, array()), c -> struct("
+               "-c.prob as negp, cast(0 as tinyint) as src_order,"
+               " c.rank as orig_rank, c.qcode as qcode, c.prob as prob))")
+_TAG_COREF = ("transform(coalesce(coref_arr, array()), c -> struct("
+              "-c.prob as negp, cast(1 as tinyint) as src_order,"
+              " c.rank as orig_rank, c.qcode as qcode, c.prob as prob))")
+
+
+def _merge_rank_arrays(df: DataFrame) -> DataFrame:
+    """pem_arr + coref_arr -> cand_arr: the reference's stable merge by
+    (-prob, source, origin rank), first-occurrence dedup by qcode, top-30
+    — entirely array expressions per mention row, no shuffle."""
+    out = (
+        df.withColumn("sorted_arr", F.expr(
+            f"sort_array(concat({_TAG_DIRECT}, {_TAG_COREF}))"))
+        .withColumn("dedup_arr", F.expr(
+            "filter(sorted_arr, (x, i) -> i = 0 OR NOT exists("
+            "slice(sorted_arr, 1, i), y -> y.qcode = x.qcode))"))
+        .withColumn("cand_arr", F.expr(
+            f"transform(slice(dedup_arr, 1, {config.MAX_CANDIDATES}),"
+            " c -> struct(c.qcode as qcode, c.prob as prob,"
+            " c.src_order as src_order, c.orig_rank as orig_rank))"))
+    )
+    return out.drop("pem_arr", "coref_arr", "sorted_arr", "dedup_arr")
+
+
+def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
+                             broadcast_pem: bool = True) -> DataFrame:
+    """M2+M3+M4 with array-native physics.
+
+    Output: (mention_key, ctx_word, cand_arr) — one row PER MENTION, the
+    final merged/deduped/top-30 candidate list in rank order.
+
+    Shuffle census (the point of this plan):
+    - multi-word mentions: ZERO shuffles — candidates attach via the
+      broadcast alias-array join and merge in-row;
+    - single-word mentions (the only possible coref receivers): exactly
+      two narrow shuffles — the (url, word) registration join and the
+      latest-registration aggregation — carrying only
+      (mention_key, norm_sf, ctx_word); their candidate arrays re-attach
+      from the broadcast afterwards;
+    - registrations are the small filtered subset of strong human
+      multi-word mentions, exploded per word.
+    The row-per-candidate formulation this replaces shuffled every
+    candidate of every mention twice (dedup agg + link agg)."""
+    src = F.broadcast(pem_arrays) if broadcast_pem else pem_arrays
+    m = mentions.select("url", "start", "norm_sf", "ctx_word",
+                        "mention_key")
+    direct = m.join(src, m.norm_sf == pem_arrays.surface_form,
+                    "left").drop("surface_form")
+
+    minp = config.PERSON_COREF_PEM_MIN
+    cap = config.PERSON_COREF_PEM_CAP
+    shorts = F.expr(
+        f"transform(filter(pem_arr, c -> c.is_human AND c.prob > {minp}),"
+        f" c -> struct(c.rank as rank, c.qcode as qcode,"
+        f" least(c.prob, cast({cap} as double)) as prob,"
+        f" c.is_human as is_human))")
+    registering = direct.where(
+        F.col("norm_sf").contains(" ")
+        & F.expr(f"exists(coalesce(pem_arr, array()),"
+                 f" c -> c.is_human AND c.prob > {minp})"))
+    reg = registering.select(
+        F.col("url").alias("r_url"),
+        F.col("start").alias("start_reg"),
+        F.explode(F.split("norm_sf", " ")).alias("word"),
+        shorts.alias("shorts"),
+    )
+
+    single = direct.where(~F.col("norm_sf").contains(" ")).select(
+        "mention_key", "url", "start", "norm_sf", "ctx_word")
+    joined = single.join(
+        reg,
+        (single.url == reg.r_url) & (single.norm_sf == reg.word)
+        & (reg.start_reg < single.start),
+        "left",
+    )
+    latest = joined.groupBy("mention_key").agg(
+        F.first("norm_sf").alias("norm_sf"),
+        F.first("ctx_word").alias("ctx_word"),
+        F.max_by("shorts", "start_reg").alias("coref_arr"),
+    )
+    single_full = latest.join(
+        src, latest.norm_sf == pem_arrays.surface_form, "left"
+    ).drop("surface_form").select(
+        "mention_key", "ctx_word", "pem_arr", "coref_arr")
+
+    multi = direct.where(F.col("norm_sf").contains(" ")).select(
+        "mention_key", "ctx_word", "pem_arr",
+        F.lit(None).cast(
+            "array<struct<rank:int,qcode:string,prob:double,"
+            "is_human:boolean>>").alias("coref_arr"))
+
+    return _merge_rank_arrays(single_full.unionByName(multi))
+
+
+def explode_candidate_arrays(cand_df: DataFrame) -> DataFrame:
+    """Array frame -> the public candidates table (CANDIDATE_SCHEMA rows,
+    NULL-qcode sentinel for no-candidate mentions). Pure map."""
+    return (
+        cand_df.select(
+            "mention_key", F.posexplode_outer("cand_arr").alias("pos", "c"))
+        .select(url_from_mention_key().alias("url"),
+                start_from_mention_key().alias("start"),
+                "mention_key",
+                F.col("c.qcode").alias("qcode"),
+                F.col("c.prob").alias("prob"),
+                F.when(F.col("c.src_order") == 0, F.lit("direct"))
+                .when(F.col("c.src_order") == 1, F.lit("coref"))
+                .alias("cand_source"),
+                (F.col("pos") + 1).cast("int").alias("cand_rank"))
     )

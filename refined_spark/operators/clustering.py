@@ -118,8 +118,10 @@ def cluster_mentions(links: DataFrame,
     This is exactly one large-star application done algebraically; the
     generic iterations still handle arbitrary pair topologies.
     """
+    # only (mention_key, anchor) ride the shuffles; url/start are derived
+    # from mention_key at output (see candidates.url_from_mention_key)
     nodes = links.select(
-        "url", "start", "mention_key",
+        "mention_key",
         F.xxhash64("mention_key").alias("nid"),
         F.when(F.col("pred_qcode").isNotNull(),
                F.xxhash64(F.concat(F.lit("e:"), F.col("pred_qcode"))))
@@ -127,7 +129,7 @@ def cluster_mentions(links: DataFrame,
     )
     # anchor of a mention = its entity if assigned, else itself
     anchored = nodes.select(
-        "url", "start", "mention_key",
+        "mention_key",
         F.coalesce("eid", "nid").alias("anchor"))
 
     if pair_edges is not None:
@@ -141,19 +143,22 @@ def cluster_mentions(links: DataFrame,
         with_comp = anchored.join(
             comp, anchored.anchor == comp.node, "left"
         ).select(
-            "url", "start", "mention_key",
+            "mention_key",
             F.coalesce("component", "anchor").alias("component"),
         )
     else:
         # no pair edges: the contracted graph is empty, so the closure is
         # the identity on anchors — skip the (empty) iterations outright
         with_comp = anchored.select(
-            "url", "start", "mention_key",
+            "mention_key",
             F.col("anchor").alias("component"),
         )
     cluster_ids = with_comp.groupBy("component").agg(
         F.min("mention_key").alias("cluster_id")
     )
+    from .candidates import start_from_mention_key, url_from_mention_key
     return with_comp.join(cluster_ids, "component").select(
-        "url", "start", "cluster_id"
+        url_from_mention_key().alias("url"),
+        start_from_mention_key().alias("start"),
+        "cluster_id",
     )

@@ -205,8 +205,8 @@ def _mention_rows_runner(bc, from_html: bool):
         for pdf in batches:
             urls, starts, lengths, texts_m, norms, ctxs, mkeys = (
                 [], [], [], [], [], [], [])
-            src = pdf["html"] if from_html else pdf["text"]
-            for url, payload in zip(pdf["url"], src):
+            src = (pdf["html"] if from_html else pdf["text"]).tolist()
+            for url, payload in zip(pdf["url"].tolist(), src):
                 text = extract_text(payload) if from_html else (payload or "")
                 for off, ln, phrase in _match_doc(text, d, fw, tok_cache):
                     nrm = phrase_cache.get(phrase)

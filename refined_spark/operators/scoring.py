@@ -144,9 +144,11 @@ def score_candidates(
     )
     logit = F.when(F.col("prob") == 0.0,
                    F.lit(config.PEM_ZERO_MASK)).otherwise(logit_raw)
+    # url/start omitted: derivable from mention_key, and every byte in
+    # this table rides the links shuffle
     return (
         joined.withColumn("logit", logit)
-        .select("url", "start", "mention_key", "qcode", "prob", "cand_source",
+        .select("mention_key", "qcode", "prob", "cand_source",
                 "cand_rank", "desc_score", "class_overlap", "logit")
     )
 
@@ -169,9 +171,9 @@ def extract_links(scored: DataFrame,
     Output: (url, start, mention_key, pred_qcode NULLABLE, confidence);
     every mention gets a row (no-candidate mentions -> NULL, conf 0.0).
     """
+    from .candidates import start_from_mention_key, url_from_mention_key
+
     agg = scored.groupBy("mention_key").agg(
-        F.first("url").alias("url"),
-        F.first("start").alias("start"),
         F.max("logit").alias("mx"),
         F.sum(F.exp("logit")).alias("sum_exp"),
         F.max_by(
@@ -184,7 +186,9 @@ def extract_links(scored: DataFrame,
     denom = F.col("sum_exp") + F.lit(1.0)  # + exp(0) for NOTA
     conf_win = F.exp(F.col("mx")) / denom
     return agg.select(
-        "url", "start", "mention_key",
+        url_from_mention_key().alias("url"),
+        start_from_mention_key().alias("start"),
+        "mention_key",
         # NOTA wins only when strictly greater than every candidate logit
         F.when((F.col("mx") >= 0.0) & (conf_win >= threshold),
                F.col("win_qcode")).alias("pred_qcode"),
@@ -193,4 +197,171 @@ def extract_links(scored: DataFrame,
             .otherwise(F.lit(1.0) / denom),
             F.lit(0.0),  # no candidates at all: mx NULL -> conf 0.0
         ).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-native scoring + linking (the production physical plan)
+# ---------------------------------------------------------------------------
+
+_CTX_NULL_KEY = "\x01"  # sentinel: group NULL ctx_word into the feature map
+
+
+def pair_feature_table(pairs: DataFrame, entity: DataFrame,
+                       entity_emb: DataFrame, topic_class: DataFrame,
+                       ctx_words: DataFrame) -> DataFrame:
+    """(ctx_word, qcode) -> (desc_score, class_overlap) for the DISTINCT
+    observed pairs — the heavy 300-dim math runs once per pair (see
+    score_candidates docstring for why this dedup is the scale move)."""
+    ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
+    emb = entity_emb.select("qcode_idx", "desc_emb")
+    ctx_embs = ctx_words.withColumn("ctx_emb", _embed_udf(F.col("ctx_word")))
+    feats = (
+        pairs
+        .join(ent_dim, "qcode", "left")
+        .join(emb, "qcode_idx", "left")
+        .join(F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
+                          .withColumnRenamed("class_idx", "t_class_idx")),
+              "ctx_word", "left")
+        .join(F.broadcast(ctx_embs), "ctx_word", "left")
+    )
+    desc_nonzero = F.exists("desc_emb", lambda x: x != 0.0)
+    dot = F.aggregate(
+        F.zip_with("desc_emb", "ctx_emb",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    desc_score = (
+        F.when(F.col("desc_emb").isNull() | ~desc_nonzero,
+               F.lit(config.NO_DESC_MASK))
+        .when(F.col("ctx_emb").isNull(), F.lit(0.0))
+        .otherwise(dot)
+    )
+    overlap = (
+        F.when(F.col("t_class_idx").isNull() | F.col("class_idx").isNull(),
+               F.lit(0.0))
+        .otherwise(F.array_contains(
+            "class_idx", F.col("t_class_idx").cast("smallint")
+        ).cast("double"))
+    )
+    return feats.select(
+        "ctx_word", "qcode",
+        desc_score.alias("desc_score"),
+        overlap.alias("class_overlap"))
+
+
+def observed_pairs_from_mentions(mentions: DataFrame,
+                                 pem_arrays: DataFrame) -> DataFrame:
+    """The (ctx_word, qcode) feature domain WITHOUT touching the candidate
+    frame: distinct (norm_sf, ctx_word) mention pairs (Zipf-deduped,
+    narrow shuffle) x the broadcast alias arrays cover every direct
+    candidate; coref candidates are covered by (single-word-mention ctx)
+    x (capped human candidates of multi-word surfaces) — a small
+    overapproximation limited to human entities. Extra map entries are
+    never looked up, so they are harmless."""
+    minp = config.PERSON_COREF_PEM_MIN
+    surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
+    direct_pairs = (
+        surf_ctx.join(F.broadcast(pem_arrays),
+                      surf_ctx.norm_sf == pem_arrays.surface_form)
+        .select("ctx_word", F.explode("pem_arr").alias("c"))
+        .select("ctx_word", F.col("c.qcode").alias("qcode"))
+    )
+    human_q = (
+        pem_arrays.where(F.col("surface_form").contains(" "))
+        .select(F.explode(F.expr(
+            f"filter(pem_arr, c -> c.is_human AND c.prob > {minp})"))
+            .alias("c"))
+        .select(F.col("c.qcode").alias("qcode")).distinct()
+    )
+    recv_ctx = (mentions.where(~F.col("norm_sf").contains(" "))
+                .select("ctx_word").distinct())
+    coref_pairs = recv_ctx.crossJoin(F.broadcast(human_q))
+    return direct_pairs.unionByName(coref_pairs).distinct()
+
+
+def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
+                          entity_emb: DataFrame, topic_class: DataFrame,
+                          weights: dict[str, float],
+                          pairs: DataFrame | None = None) -> DataFrame:
+    """cand_df (mention_key, ctx_word, cand_arr) -> + ``logits`` array.
+
+    The per-candidate linear layer (F6) evaluates as a transform() over
+    the candidate array with feature lookup in a BROADCAST map keyed by
+    (ctx_word -> qcode -> features): zero shuffle of the mention table.
+    The map's size is the distinct observed (ctx, qcode) pair count —
+    alias-table-scale, the same budget the reference spends on its PEM
+    dict on every worker."""
+    if pairs is None:
+        pairs = (cand_df.select("ctx_word",
+                                F.explode("cand_arr").alias("c"))
+                 .select("ctx_word", F.col("c.qcode").alias("qcode"))
+                 .distinct())
+    ctx_words = (pairs.select("ctx_word")
+                 .where(F.col("ctx_word").isNotNull()).distinct())
+    feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
+                               ctx_words)
+    by_ctx = feats.groupBy(
+        F.coalesce("ctx_word", F.lit(_CTX_NULL_KEY)).alias("ctx_key")
+    ).agg(F.map_from_entries(F.collect_list(F.struct(
+        "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap"))
+
+    j = cand_df.join(
+        F.broadcast(by_ctx),
+        F.coalesce(cand_df["ctx_word"], F.lit(_CTX_NULL_KEY))
+        == by_ctx["ctx_key"], "left").drop("ctx_key")
+    w = weights
+    logit_expr = (
+        f"transform(cand_arr, c -> CASE WHEN c.prob = 0D "
+        f"THEN cast({config.PEM_ZERO_MASK} as double) ELSE "
+        f"{w['class_overlap']}D * element_at(fmap, c.qcode).class_overlap"
+        f" + {w['pem']}D * c.prob"
+        f" + {w['class_dist']}D * (1.0D - element_at(fmap, c.qcode).class_overlap)"
+        f" + {w['desc_score']}D * element_at(fmap, c.qcode).desc_score"
+        f" + {w['bias']}D END)")
+    return j.withColumn("logits", F.expr(logit_expr))
+
+
+def links_from_logits(with_logits: DataFrame,
+                      threshold: float = config.ED_THRESHOLD) -> DataFrame:
+    """F7 as pure array math per mention row — softmax with NOTA term,
+    first-occurrence argmax, ED threshold. No shuffle at all."""
+    from .candidates import start_from_mention_key, url_from_mention_key
+
+    mx = F.array_max("logits")
+    sum_exp = F.aggregate("logits", F.lit(0.0).cast("double"),
+                          lambda a, x: a + F.exp(x))
+    denom = sum_exp + F.lit(1.0)
+    # array_position = FIRST index of the max = lowest cand_rank tie-break
+    win = F.element_at(F.col("cand_arr"),
+                       F.array_position("logits", mx).cast("int"))["qcode"]
+    conf_win = F.exp(mx) / denom
+    return with_logits.select(
+        url_from_mention_key().alias("url"),
+        start_from_mention_key().alias("start"),
+        "mention_key",
+        F.when((mx >= 0.0) & (conf_win >= threshold), win)
+        .alias("pred_qcode"),
+        F.when(F.size("cand_arr") == 0, F.lit(0.0))
+        .otherwise(F.when(mx >= 0.0, conf_win)
+                   .otherwise(F.lit(1.0) / denom)).alias("confidence"),
+    )
+
+
+def explode_scored_arrays(with_logits: DataFrame) -> DataFrame:
+    """Array frame -> per-(mention, candidate) scored rows (the public
+    ``scored`` table). Pure map."""
+    z = with_logits.select(
+        "mention_key",
+        F.posexplode(F.arrays_zip("cand_arr", "logits")).alias("pos", "z"))
+    return z.select(
+        "mention_key",
+        F.col("z.cand_arr.qcode").alias("qcode"),
+        F.col("z.cand_arr.prob").alias("prob"),
+        F.when(F.col("z.cand_arr.src_order") == 0, F.lit("direct"))
+        .when(F.col("z.cand_arr.src_order") == 1, F.lit("coref"))
+        .alias("cand_source"),
+        (F.col("pos") + 1).cast("int").alias("cand_rank"),
+        F.col("z.logits").alias("logit"),
     )

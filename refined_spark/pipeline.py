@@ -28,11 +28,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import config
-from .operators.candidates import generate_candidates
+from .operators.candidates import (
+    explode_candidate_arrays,
+    mention_candidate_arrays,
+    pem_surface_arrays,
+)
 from .operators.clustering import cluster_mentions
 from .operators.extract import extracted_text_col, with_extracted_text
 from .operators.mentions import detect_mention_rows, mentions_from_spans
-from .operators.scoring import extract_links, score_candidates
+from .operators.scoring import (
+    explode_scored_arrays,
+    links_from_logits,
+    observed_pairs_from_mentions,
+    with_candidate_logits,
+)
 
 
 def load_tables(spark: SparkSession, fixture_dir: str) -> dict[str, DataFrame]:
@@ -112,17 +121,28 @@ def run_pipeline(
     # At cluster scale the equivalent is the checkpointed stage table
     # (checkpoint.py); locally an in-memory persist.
     mentions = mentions.persist()
-    # cand_all keeps no-candidate mentions as NULL-qcode rows so the link
-    # stage never joins the mentions table back in; the public candidates
-    # table filters them (free: same aggregation, a filter on top)
-    cand_all = generate_candidates(
-        mentions, t["pem"], t["entity"], broadcast_pem=broadcast_pem)
-    candidates = cand_all.where(F.col("qcode").isNotNull())
+    # Array-native candidate/scoring path: one row per mention carrying
+    # its merged candidate ARRAY. Multi-word mentions never shuffle;
+    # single-word mentions shuffle twice (coref join + latest-reg agg)
+    # with key-width rows; scoring + linking are pure map stages over a
+    # broadcast feature map. First full-table shuffle of the whole job
+    # is the final cluster aggregation.
+    pem_arrays = pem_surface_arrays(t["pem"], t["entity"])
+    cand_arr = mention_candidate_arrays(
+        mentions, pem_arrays, broadcast_pem=broadcast_pem)
     weights = load_weights(t["ed_weights"])
-    scored = score_candidates(
-        cand_all, mentions, t["entity"], t["entity_emb"],
-        t["topic_class"], weights, broadcast_emb=broadcast_emb)
-    links = extract_links(scored).persist()
+    # feature domain from the mentions table (not cand_arr), so the
+    # candidate subtree is consumed exactly once per action and never
+    # needs caching
+    pairs = observed_pairs_from_mentions(mentions, pem_arrays)
+    with_logits = with_candidate_logits(
+        cand_arr, t["entity"], t["entity_emb"], t["topic_class"], weights,
+        pairs=pairs)
+    candidates = explode_candidate_arrays(cand_arr).where(
+        F.col("qcode").isNotNull())
+    scored = explode_scored_arrays(with_logits)
+    links = links_from_logits(with_logits).persist()
     clusters = cluster_mentions(links)
     return dict(mentions=mentions, candidates=candidates, scored=scored,
-                links=links, clusters=clusters, tables=t)
+                links=links, clusters=clusters, cand_arr=cand_arr,
+                tables=t)

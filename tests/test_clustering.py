@@ -65,10 +65,10 @@ def test_pair_edges_merge_clusters(spark):
     """Accepted mention-mention pair edges must merge entity clusters
     through the contracted CC path."""
     links = spark.createDataFrame(
-        [("u1", 10, "u1:10", "Q1"), ("u2", 20, "u2:20", "Q2"),
-         ("u3", 30, "u3:30", "Q2"), ("u4", 40, "u4:40", None)],
+        [("u1", 10, "u1:00000010", "Q1"), ("u2", 20, "u2:00000020", "Q2"),
+         ("u3", 30, "u3:00000030", "Q2"), ("u4", 40, "u4:00000040", None)],
         "url: string, start: int, mention_key: string, pred_qcode: string")
-    pairs = spark.createDataFrame([("u1:10", "u2:20")],
+    pairs = spark.createDataFrame([("u1:00000010", "u2:00000020")],
                                   "key_a: string, key_b: string")
     no_pairs = {r["url"]: r["cluster_id"]
                 for r in cluster_mentions(links).collect()}
@@ -79,5 +79,5 @@ def test_pair_edges_merge_clusters(spark):
     merged = {r["url"]: r["cluster_id"]
               for r in cluster_mentions(links, pair_edges=pairs).collect()}
     # the pair edge bridges Q1 and Q2 transitively: u1,u2,u3 one cluster
-    assert merged["u1"] == merged["u2"] == merged["u3"] == "u1:10"
+    assert merged["u1"] == merged["u2"] == merged["u3"] == "u1:00000010"
     assert merged["u4"] != merged["u1"]
