@@ -400,6 +400,61 @@ def q_media_features(spark, sf):
         "media_id")
 
 
+def q_type_prune(spark, sf):
+    """F8 type pruning (minimal class set over the subclass DAG,
+    reference inference/processor.py:413-452): for each edge's child we
+    label {child, parent}; pruning must drop the implied parent."""
+    from refined_spark.operators.closure import class_closure, minimal_classes
+
+    edges = _fx(spark, sf, "class_edges")
+    labeled = (
+        edges.select(F.col("child_class").alias("key"),
+                     F.col("child_class").alias("class_name"))
+        .unionByName(
+            edges.select(F.col("child_class").alias("key"),
+                         F.col("parent_class").alias("class_name")))
+        .distinct()
+    )
+    return minimal_classes(class_closure(edges), labeled).orderBy(
+        "key", "class_name")
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard on a deterministic candidate pair set
+    (adjacent doc ids) — the verify stage of the near-dup pipeline,
+    fully JVM-side (no UDF)."""
+    from refined_spark.operators.dedup import jaccard_verify
+
+    docs = _t(spark, sf, "documents").where("n_chars > 0")
+    ids = docs.select("doc_id").where("doc_id < 2000")
+    pairs = (ids.alias("a")
+             .join(ids.alias("b"),
+                   F.col("b.doc_id") == F.col("a.doc_id") + 1)
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    # threshold 0: every pair's exact jaccard is value-checked by the
+    # oracle (a tight threshold passes trivially with zero rows)
+    return (jaccard_verify(pairs, docs, threshold=0.0)
+            .withColumn("jaccard", F.round("jaccard", 6))
+            .orderBy("id_a"))
+
+
+def q_cluster_pairs(spark, sf):
+    """A9 with accepted mention-mention pair edges: transitive clusters
+    via entity-contraction + iterative large-star/small-star over the
+    contracted graph (non-SQL-expressible: iterative fixpoint)."""
+    from refined_spark.operators.clustering import cluster_mentions
+
+    res = _pipeline(spark, sf)
+    key = lambda u, s: F.concat(F.col(u), F.lit(":"),  # noqa: E731
+                                F.lpad(F.col(s).cast("string"), 8, "0"))
+    pairs = (_fx(spark, sf, "gold_pairs").where("same_entity")
+             .select(key("url_a", "start_a").alias("key_a"),
+                     key("url_b", "start_b").alias("key_b")))
+    return cluster_mentions(res["links"], pair_edges=pairs).orderBy(
+        "url", "start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -436,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
+        "type_prune": q_type_prune,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cluster_pairs": q_cluster_pairs,
     }
 
 
@@ -639,6 +697,58 @@ def oracle_sql() -> dict[str, str]:
                    cast(1.0 as double) as recall,
                    cast(1.0 as double) as f1
             from flags
+        """,
+        "type_prune": f"""
+            with recursive edges as (
+              select child_class, parent_class
+              from read_parquet('{_fxp("class_edges")}')
+            ), nodes as (
+              select child_class as c from edges
+              union select parent_class from edges
+            ), cl as (
+              select c as child_class, c as ancestor_class from nodes
+              union
+              select e.child_class, cl.ancestor_class
+              from edges e join cl on e.parent_class = cl.child_class
+            ), labeled as (
+              select distinct child_class as key, child_class as class_name
+              from edges
+              union
+              select distinct child_class as key, parent_class as class_name
+              from edges
+            )
+            select l.key, l.class_name from labeled l
+            where not exists (
+              select 1 from labeled o
+              join cl on o.class_name = cl.child_class
+                     and cl.ancestor_class = l.class_name
+                     and o.class_name <> l.class_name
+              where o.key = l.key
+            )
+            order by key, class_name
+        """,
+        "ngram_jaccard": """
+            with d as (
+              select doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') as w
+              from documents where n_chars > 0 and doc_id < 2000
+            ), sh as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(w) - 3, 0)),
+                       i -> array_to_string(w[i+1:i+3], ' '))) as shingles
+              from d
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(case when len(list_distinct(
+                            list_concat(a.shingles, b.shingles))) > 0
+                         then cast(len(list_intersect(a.shingles, b.shingles))
+                              as double)
+                              / len(list_distinct(
+                                    list_concat(a.shingles, b.shingles)))
+                         else 1.0 end, 6) as jaccard
+            from sh a join sh b on b.doc_id = a.doc_id + 1
+            order by id_a
         """,
         "class_closure": f"""
             with recursive edges as (
