@@ -95,3 +95,66 @@ def test_fused_detect_equals_composed_path(spark, fx_t1):
         .select("url", "start", "length", "mention_text", "norm_sf",
                 "ctx_word", "mention_key").collect()}
     assert fused == composed
+
+def test_array_path_equals_row_path(spark, fx_t2):
+    """The array-native production plan and the row-based cross-check
+    implementations must agree row-for-row (candidates) and on every
+    prediction (links) — same semantics, different physical plans."""
+    import pyspark.sql.functions as F
+
+    from refined_spark.operators.candidates import (
+        direct_candidates,
+        explode_candidate_arrays,
+        mention_candidate_arrays,
+        pem_surface_arrays,
+        with_person_coref,
+    )
+    from refined_spark.operators.extract import extracted_text_col
+    from refined_spark.operators.mentions import detect_mention_rows
+    from refined_spark.operators.scoring import (
+        extract_links,
+        links_from_logits,
+        score_candidates,
+        with_candidate_logits,
+    )
+    from refined_spark.pipeline import (
+        load_tables,
+        load_weights,
+        match_dictionary,
+    )
+
+    t = load_tables(spark, fx_t2)
+    docs = t["documents"].withColumn("text", extracted_text_col("html"))
+    mentions = detect_mention_rows(
+        spark, docs, match_dictionary(t["pem"], t["entity"])).cache()
+
+    arr = mention_candidate_arrays(
+        mentions, pem_surface_arrays(t["pem"], t["entity"]))
+    cand_a = explode_candidate_arrays(arr).where("qcode is not null")
+    cand_r = with_person_coref(
+        direct_candidates(mentions, t["pem"], t["entity"]),
+        mentions=mentions).where("qcode is not null")
+    cols = ["mention_key", "qcode", "prob", "cand_source", "cand_rank"]
+    a = {tuple(r) for r in cand_a.select(cols).collect()}
+    b = {tuple(r) for r in cand_r.select(cols).collect()}
+    assert a == b
+
+    weights = load_weights(t["ed_weights"])
+    links_a = links_from_logits(with_candidate_logits(
+        arr, t["entity"], t["entity_emb"], t["topic_class"], weights))
+    # row path needs the NULL-sentinel rows for no-candidate mentions
+    cand_all = with_person_coref(
+        direct_candidates(mentions, t["pem"], t["entity"]),
+        mentions=mentions)
+    links_r = extract_links(score_candidates(
+        cand_all, mentions, t["entity"], t["entity_emb"],
+        t["topic_class"], weights))
+    la = {(r["mention_key"], r["pred_qcode"], round(r["confidence"], 9))
+          for r in links_a.collect()}
+    lr = {(r["mention_key"], r["pred_qcode"], round(r["confidence"], 9))
+          for r in links_r.collect()}
+    assert {x[:2] for x in la} == {x[:2] for x in lr}
+    # confidences equal within fp tolerance (different summation shapes)
+    da = dict((x[0], x[2]) for x in la)
+    for k, v in ((x[0], x[2]) for x in lr):
+        assert abs(da[k] - v) < 1e-6, k
