@@ -391,13 +391,16 @@ def q_ann_lsh(spark, sf):
 
 
 def q_media_features(spark, sf):
-    from refined_spark.operators.multimodal import (
-        extract_media_features,
-        synth_media_table,
-    )
+    """Multimodal decode→feature plumbing over the fixture media table.
+    Output is scalar/JSON-shaped (ARRAY<FLOAT> is not canonicalizable by
+    the driver harness); the oracle is an independent pooling recompute
+    written at fixture-gen time."""
+    from refined_spark.operators.multimodal import extract_media_features
 
-    return extract_media_features(synth_media_table(spark, 64)).orderBy(
-        "media_id")
+    media = _fx(spark, sf, "media")
+    return extract_media_features(media).select(
+        "media_id", "kind", "feat_json", "feat_dim", "decode_ok"
+    ).orderBy("media_id")
 
 
 def q_type_prune(spark, sf):
@@ -872,5 +875,10 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as ts_hour, event_type,
                    count(*) as n_events, round(sum(value), 4) as value_sum
             from events group by 1, 2 order by 1, 2
+        """,
+        "media_features": f"""
+            select media_id, kind, feat_json, feat_dim, decode_ok
+            from read_parquet('{_fxp("expected_media_features")}')
+            order by media_id
         """,
     }

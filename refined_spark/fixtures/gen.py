@@ -43,6 +43,12 @@ from .oracle import run_oracle
 
 FIXTURE_VERSION = "v5"  # v5: documents/gold_spans sharded into many files
 
+# Extra tables added after round 1 (media, dates, anchors, tables, spans…).
+# Versioned SEPARATELY so adding one never invalidates the expensive bench
+# corpus: extras are only generated for oracle tiers (t1/t2) and regenerate
+# independently of the core stamp.
+EXTRAS_VERSION = "x1"
+
 TIERS = {
     "t1": dict(n_stems=20, n_persons=12, n_docs=120, pair_cap=None,
                with_oracle=True, n_hot=20),
@@ -590,6 +596,30 @@ def _stamp_ok(out_dir, tier):
         return False
 
 
+def _extras_ok(out_dir):
+    p = os.path.join(out_dir, "_EXTRAS.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("version") == EXTRAS_VERSION
+    except Exception:
+        return False
+
+
+def ensure_extras(tier: str, out_dir: str) -> None:
+    """Generate the post-round-1 extra tables (oracle tiers only) if their
+    stamp is stale — independent of the core corpus stamp, so an extras
+    bump never regenerates the bench-scale documents."""
+    if not TIERS[tier]["with_oracle"] or _extras_ok(out_dir):
+        return
+    from .extras import generate_extras
+
+    generate_extras(tier, TIERS[tier], out_dir)
+    with open(os.path.join(out_dir, "_EXTRAS.json"), "w") as f:
+        json.dump(dict(version=EXTRAS_VERSION, tier=tier), f)
+
+
 def ensure_fixtures(target: str, root: str | None = None) -> str:
     """Idempotent: generate the fixture tier for ``target`` if missing.
 
@@ -603,4 +633,5 @@ def ensure_fixtures(target: str, root: str | None = None) -> str:
         if os.path.isdir(out_dir):
             shutil.rmtree(out_dir)  # stale version: rebuild from clean
         generate(tier, out_dir)
+    ensure_extras(tier, out_dir)
     return out_dir

@@ -45,6 +45,7 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", StringType()),
     StructField("kind", StringType()),
     StructField("feat", ArrayType(FloatType())),
+    StructField("feat_json", StringType()),   # rounded JSON — oracle-able
     StructField("feat_dim", IntegerType()),
     StructField("decode_ok", StringType()),
 ])
@@ -70,6 +71,30 @@ def _decode_image_impl(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def pooled_feature(payload: bytes, feat_dim: int) -> list[float]:
+    """Decode + mean-pool + tile to feat_dim, scaled to [0,1]. Shared by the
+    Spark operator and the fixture-golden generator (which recomputes the
+    POOLING independently; only the codec stub is shared)."""
+    img = _decode_image_impl(payload)
+    # float64 end-to-end: (int_sum / n_px) / 255 is bit-deterministic, so an
+    # independent recompute (the fixture golden) matches exactly
+    pooled = img.astype(np.float64).mean(axis=(0, 1))  # RGB
+    reps = int(np.ceil(feat_dim / pooled.shape[0]))
+    feat = np.tile(pooled, reps)[:feat_dim] / 255.0
+    return [float(x) for x in feat]
+
+
+def feat_to_json(feat: list[float] | None) -> str | None:
+    """Canonical rounded-JSON rendering of a feature vector (the value the
+    driver's canonicalizer can sort/hash — ARRAY<FLOAT> columns are not
+    hashable there)."""
+    import json
+
+    if feat is None:
+        return None
+    return json.dumps([round(float(x), 6) for x in feat])
+
+
 def extract_media_features(media: DataFrame,
                            feat_dim: int = 16) -> DataFrame:
     """Decode + pooled feature per media row, streaming Arrow batches."""
@@ -79,11 +104,7 @@ def extract_media_features(media: DataFrame,
             feats, oks = [], []
             for payload in pdf["payload"]:
                 try:
-                    img = _decode_image_impl(payload)
-                    pooled = img.astype(np.float32).mean(axis=(0, 1))  # RGB
-                    reps = int(np.ceil(feat_dim / pooled.shape[0]))
-                    feat = np.tile(pooled, reps)[:feat_dim] / 255.0
-                    feats.append([float(x) for x in feat])
+                    feats.append(pooled_feature(payload, feat_dim))
                     oks.append("ok")
                 except NotImplementedError:
                     feats.append(None)
@@ -92,6 +113,7 @@ def extract_media_features(media: DataFrame,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "feat": feats,
+                "feat_json": [feat_to_json(f) for f in feats],
                 "feat_dim": feat_dim,
                 "decode_ok": oks,
             })
@@ -99,8 +121,9 @@ def extract_media_features(media: DataFrame,
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synth_media_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media rows for tests (binary payload = seeded)."""
+def synth_media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic fake media rows (binary payload = seeded); shared by
+    tests and the fixture generator."""
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(
@@ -111,4 +134,8 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
                      {"image": "image/png", "audio": "audio/wav",
                       "video": "video/mp4"}[kind],
                      64, 64, 1000 * (i % 30 + 1)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_table(spark, n: int = 64) -> DataFrame:
+    return spark.createDataFrame(synth_media_rows(n), MEDIA_SCHEMA)
