@@ -35,6 +35,11 @@ from .. import config
 from .dedup import _minhash_sig
 
 
+# per-worker surface-form -> band-keys memo: mention surfaces are Zipfian,
+# so in steady state the UDF is a dict lookup, not a MinHash computation
+_BAND_CACHE: dict[str, list[int]] = {}
+
+
 def band_keys_udf(num_perm: int = config.MINHASH_PERMS,
                   bands: int = config.MINHASH_BANDS,
                   k: int = config.SHINGLE_K):
@@ -42,10 +47,16 @@ def band_keys_udf(num_perm: int = config.MINHASH_PERMS,
 
     @pandas_udf(ArrayType(LongType()))
     def bands_of(texts: pd.Series) -> pd.Series:
+        cache = _BAND_CACHE
+
         def one(t: str) -> list[int]:
+            t = t or ""
+            v = cache.get(t)
+            if v is not None:
+                return v
             # char shingles: surface forms are 1-4 words; word shingles
             # degenerate there (one typo -> Jaccard 0)
-            sig = np.asarray(_minhash_sig(t or "", num_perm, k, char=True),
+            sig = np.asarray(_minhash_sig(t, num_perm, k, char=True),
                              dtype=np.int64)
             out = []
             for b in range(bands):
@@ -56,6 +67,8 @@ def band_keys_udf(num_perm: int = config.MINHASH_PERMS,
                     hashlib.blake2b(bytes([b]) + chunk,
                                     digest_size=7).digest(), "little")
                 out.append((b << 56) | h)
+            if len(cache) < 2_000_000:
+                cache[t] = out
             return out
 
         return texts.map(one)

@@ -68,16 +68,98 @@ def _hash64(s: str, seed: int = 0) -> int:
     return int.from_bytes(h, "little")
 
 
+# ---- vectorized shingle hashing ------------------------------------------
+#
+# Round-1 review finding: the signature UDF rebuilt the permutation RNG per
+# DOCUMENT and ran blake2b per SHINGLE — per-row Python on the hot path of
+# both near-dup dedup and M6 blocking. Now:
+#   * permutation constants are computed once per process (_perms cache);
+#   * only DISTINCT TOKENS are hashed with blake2b (Zipf vocabulary ->
+#     ~100% cache hits), word-shingle hashes are a vectorized positional
+#     mix of the k token hashes;
+#   * char shingles mix raw codepoints the same way (no per-shingle string
+#     materialization at all);
+#   * the (perms x shingles) min runs as one numpy matrix op per doc.
+# Collision probability of the 64-bit mix is 2^-64 per pair — the same
+# regime as hashing the shingle string directly.
+
+_PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_POS_MULT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _perms(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash constants h_i(x) = a_i*x + b_i mod 2^64 (odd a_i)."""
+    if num_perm not in _PERM_CACHE:
+        rng = np.random.Generator(np.random.PCG64(1234))
+        a = rng.integers(1, _MASK64, size=num_perm,
+                         dtype=np.uint64) | np.uint64(1)
+        b = rng.integers(0, _MASK64, size=num_perm, dtype=np.uint64)
+        _PERM_CACHE[num_perm] = (a, b)
+    return _PERM_CACHE[num_perm]
+
+
+def _pos_mult(n: int) -> np.ndarray:
+    """n odd position-mixing multipliers (seeded, independent of _perms)."""
+    if n not in _POS_MULT_CACHE:
+        rng = np.random.Generator(np.random.PCG64(777))
+        _POS_MULT_CACHE[n] = rng.integers(
+            1, _MASK64, size=n, dtype=np.uint64) | np.uint64(1)
+    return _POS_MULT_CACHE[n]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants), vectorized."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _tok_hash(tok: str) -> int:
+    v = _TOKEN_HASH_CACHE.get(tok)
+    if v is None:
+        v = _hash64(tok)
+        if len(_TOKEN_HASH_CACHE) < 4_000_000:
+            _TOKEN_HASH_CACHE[tok] = v
+    return v
+
+
+def _windowed_mix(h: np.ndarray, k: int) -> np.ndarray:
+    """Distinct hashes of all k-wide windows of element-hash array h
+    (or ONE hash of the whole array when len < k — mirroring _shingles)."""
+    n = h.shape[0]
+    if n == 0:
+        return h
+    width = k if n >= k else n
+    n_sh = n - width + 1
+    pos = _pos_mult(width)
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            acc ^= h[j:j + n_sh] * pos[j]
+        return np.unique(_mix64(acc))
+
+
+def _word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.lower().split()
+    h = np.fromiter((_tok_hash(t) for t in toks), dtype=np.uint64,
+                    count=len(toks))
+    return _windowed_mix(h, k)
+
+
+def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    t = text.lower()
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    return _windowed_mix(_mix64(cps.astype(np.uint64)), k)
+
+
 def _minhash_sig(text: str, num_perm: int, k: int,
                  char: bool = False) -> list[int]:
-    sh = _char_shingles(text, k) if char else _shingles(text, k)
-    if not sh:
+    base = (_char_shingle_hashes(text, k) if char
+            else _word_shingle_hashes(text, k))
+    if base.size == 0:
         return [0] * num_perm
-    base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
-    # universal hashing: h_i(x) = (a_i * x + b_i) mod 2^64 (odd a_i)
-    rng = np.random.Generator(np.random.PCG64(1234))
-    a = rng.integers(1, _MASK64, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, _MASK64, size=num_perm, dtype=np.uint64)
+    a, b = _perms(num_perm)
     with np.errstate(over="ignore"):
         sigs = (base[None, :] * a[:, None] + b[:, None]).min(axis=1)
     return [int(x) for x in sigs.astype(np.int64)]
