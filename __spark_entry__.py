@@ -375,11 +375,25 @@ def q_stream_window_counts(spark, sf):
     )
 
 
-# rows-only checks (no SQL-expressible oracle): custom stateful / approx ops
 def q_simhash(spark, sf):
+    """64-bit SimHash as two 32-bit halves — JVM codegen in Spark,
+    bit-reproduced by DuckDB md5 + bit math (real value oracle)."""
     from refined_spark.operators.dedup import simhash_signatures
 
     return simhash_signatures(_t(spark, sf, "documents")).orderBy("id")
+
+
+def q_simhash_pairs(spark, sf):
+    """Banded hamming-<=3 near-dup search over the doc+copies corpus:
+    4x16-bit bands bucket-join (pigeonhole-complete for k<=3), exact
+    bit_count verify."""
+    from refined_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(_docs_with_copies(spark, sf))
+    return simhash_near_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def q_ann_lsh(spark, sf):
@@ -492,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stream_window_counts": q_stream_window_counts,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "type_prune": q_type_prune,
@@ -503,6 +518,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+def _simhash_half_sql(hex_off: int) -> str:
+    """DuckDB bit-reconstruction of one 32-bit SimHash half (the Spark side
+    is refined_spark.operators.dedup._simhash_half); expects a `ws`
+    token-list column in scope."""
+    tok_bit = (f"case when (('0x' || substr(md5(w), {hex_off}, 8))::BIGINT"
+               f" >> j) & 1 = 1 then 1 else -1 end")
+    return (
+        f"coalesce(list_sum(list_transform(generate_series(0, 31), j -> "
+        f"case when list_sum(list_transform(ws, w -> {tok_bit})) > 0 "
+        f"then (1::BIGINT << j) else 0::BIGINT end)), 0)::BIGINT"
+    )
+
 
 _NORM_SQL = (
     "replace(replace(replace(replace(trim("
@@ -880,5 +908,50 @@ def oracle_sql() -> dict[str, str]:
             select media_id, kind, feat_json, feat_dim, decode_ok
             from read_parquet('{_fxp("expected_media_features")}')
             order by media_id
+        """,
+        "simhash": f"""
+            with d as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w != '') as ws
+              from documents
+            )
+            select doc_id as id,
+                   {_simhash_half_sql(1)} as sim_hi,
+                   {_simhash_half_sql(9)} as sim_lo
+            from d order by id
+        """,
+        "simhash_pairs": f"""
+            with d as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w != '') as ws
+              from documents
+            ), s0 as (
+              select doc_id as id,
+                     {_simhash_half_sql(1)} as sim_hi,
+                     {_simhash_half_sql(9)} as sim_lo
+              from d
+            ), s as (
+              select * from s0
+              union all
+              select id + 1000000, sim_hi, sim_lo from s0
+            ), banded as (
+              select id, sim_hi, sim_lo, band,
+                     case band
+                       when 0 then sim_hi & 65535
+                       when 1 then (sim_hi >> 16) & 65535
+                       when 2 then sim_lo & 65535
+                       else (sim_lo >> 16) & 65535 end as val
+              from s, unnest([0, 1, 2, 3]) as u(band)
+            )
+            select distinct a.id as id_a, b.id as id_b,
+                   (bit_count(xor(a.sim_hi, b.sim_hi))
+                    + bit_count(xor(a.sim_lo, b.sim_lo)))::INT as hamming
+            from banded a join banded b
+              on a.band = b.band and a.val = b.val and a.id < b.id
+            where bit_count(xor(a.sim_hi, b.sim_hi))
+                  + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+            order by id_a, id_b
         """,
     }

@@ -270,26 +270,75 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _simhash_half(words: str, hex_off: int) -> str:
+    """SQL expr: one 32-bit SimHash half from md5-hex chars
+    [hex_off, hex_off+8) of each token. 32-bit halves keep every
+    intermediate in exact signed-64 range on BOTH engines (no sign /
+    overflow divergence between Spark BIGINT and DuckDB BIGINT)."""
+    tok_h = (f"transform({words}, w -> "
+             f"cast(conv(substring(md5(encode(w, 'UTF-8')), {hex_off}, 8), "
+             f"16, 10) as bigint))")
+    return (
+        f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + "
+        f"if(aggregate({tok_h}, cast(0 as bigint), "
+        f"(a, h) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)) > 0, "
+        f"shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    )
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized numpy)."""
-    @pandas_udf(LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        def one(t: str) -> int:
-            toks = (t or "").lower().split()
-            if not toks:
-                return 0
-            hs = np.array([_hash64(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
+    """64-bit SimHash over whitespace tokens as TWO 32-bit halves
+    (sim_hi, sim_lo) — entirely JVM-side (whole-stage codegen, fuses into
+    the scan; no Python at all), and bit-for-bit reproducible in ANSI SQL
+    (md5 + bit math), which is what makes the DuckDB oracle possible.
 
-        return texts.map(one)
+    Token hash = bits of md5(token); half j's bit i is set iff the count
+    of tokens with that md5 bit set exceeds the count without (classic
+    Charikar sign-sum).
+    """
+    words = (f"filter(split(lower({text_col}), '\\\\s+'), "
+             f"w -> w != '')")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(_simhash_half(words, 1)).alias("sim_hi"),
+        F.expr(_simhash_half(words, 9)).alias("sim_lo"),
+    )
 
-    return docs.select(F.col(id_col).alias("id"),
-                       simhash_udf(F.col(text_col)).alias("simhash"))
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3
+                       ) -> DataFrame:
+    """Banded hamming-<=k candidate search + exact verify.
+
+    The 64-bit signature splits into 4 x 16-bit bands; any pair within
+    hamming distance k <= 3 must agree on >= 1 band (pigeonhole), so
+    same-band bucketing finds ALL such pairs — the shuffle is bounded per
+    band bucket exactly like MinHash-LSH banding, no all-pairs join.
+    Output: (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    banded = signatures.select(
+        "id", "sim_hi", "sim_lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     (F.col("sim_hi").bitwiseAND(0xFFFF)).alias("val")),
+            F.struct(F.lit(1).alias("band"),
+                     F.expr("shiftright(sim_hi, 16) & 65535").alias("val")),
+            F.struct(F.lit(2).alias("band"),
+                     (F.col("sim_lo").bitwiseAND(0xFFFF)).alias("val")),
+            F.struct(F.lit(3).alias("band"),
+                     F.expr("shiftright(sim_lo, 16) & 65535").alias("val")),
+        )).alias("bk"),
+    ).select("id", "sim_hi", "sim_lo",
+             F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.expr("bit_count(a.sim_hi ^ b.sim_hi) "
+                 "+ bit_count(a.sim_lo ^ b.sim_lo)")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -65,14 +65,37 @@ def test_minhash_exact_dup_recall_is_one():
 
 
 def test_simhash_identical_and_different(spark, docs):
-    sigs = {r["id"]: r["simhash"]
+    sigs = {r["id"]: (r["sim_hi"], r["sim_lo"])
             for r in simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[100] == sigs[101]
-    # near-dup: small hamming distance
-    ham = bin((sigs[1] ^ sigs[102]) & ((1 << 64) - 1)).count("1")
-    assert ham <= 8
-    ham_rand = bin((sigs[2] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
-    assert ham_rand > 8
+    for hi, lo in sigs.values():
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1"))
+
+    # near-dup: small hamming distance; unrelated: large
+    assert ham(sigs[1], sigs[102]) <= 8
+    assert ham(sigs[2], sigs[3]) > 8
+
+
+def test_simhash_near_pairs_banded_equals_brute(spark, docs):
+    """Banded hamming search finds exactly the brute-force <=3 pairs."""
+    from refined_spark.operators.dedup import simhash_near_pairs
+
+    sigs = simhash_signatures(docs)
+    rows = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in sigs.collect()}
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1"))
+
+    ids = sorted(rows)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if ham(rows[a], rows[b]) <= 3}
+    assert truth  # the exact-dup copies guarantee at least one pair
+    got = {(r["id_a"], r["id_b"])
+           for r in simhash_near_pairs(sigs, max_hamming=3).collect()}
+    assert got == truth
 
 
 def test_cosine_topk_vs_numpy(spark):
