@@ -397,11 +397,17 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """Hyperplane-LSH bucketed ANN. Value-oracled: the seeded hyperplane
+    matrix is embedded in the DuckDB oracle as literals, so buckets,
+    candidates and ranks are recomputed fully independently. The float
+    cosine itself is dropped from the output (summation-order rounding
+    differs between engines); ranks are compared."""
     from refined_spark.operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann_topk_lsh(emb, k=3, dim=dim).orderBy("query_id", "nn_rank")
+    return ann_topk_lsh(emb, k=3, dim=dim).select(
+        "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
 
 
 def q_media_features(spark, sf):
@@ -530,6 +536,44 @@ def _simhash_half_sql(hex_off: int) -> str:
         f"case when list_sum(list_transform(ws, w -> {tok_bit})) > 0 "
         f"then (1::BIGINT << j) else 0::BIGINT end)), 0)::BIGINT"
     )
+
+
+def _ann_lsh_oracle_sql(bits: int = 12, dim: int = 64, k: int = 3) -> str:
+    """Independent DuckDB replay of ann_topk_lsh: the seeded hyperplane
+    matrix (numpy PCG64(7), same constants the Spark UDF builds) is
+    embedded as literals; sign -> bucket -> same-bucket join -> exact
+    cosine -> rank are all recomputed by DuckDB."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.standard_normal((bits, dim))
+    lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in planes) + "]"
+    return f"""
+        with p as (select {lit} as planes),
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        sigs as (
+          select vec_id, v, sqrt(list_inner_product(v, v)) as nrm,
+                 list_sum(list_transform(generate_series(0, {bits - 1}),
+                   i -> case when list_inner_product(v, planes[i+1]) > 0
+                        then (1::BIGINT << i) else 0::BIGINT end))::BIGINT
+                   as bucket
+          from e, p
+        ),
+        scored as (
+          select a.vec_id qid, b.vec_id nid,
+                 list_inner_product(a.v, b.v)
+                   / greatest(a.nrm * b.nrm, 1e-12) as cos
+          from sigs a join sigs b
+            on a.bucket = b.bucket and a.vec_id <> b.vec_id
+        )
+        select qid as query_id, nid as neighbor_id,
+               cast(row_number() over (partition by qid
+                    order by cos desc, nid) as int) as nn_rank
+        from scored qualify nn_rank <= {k}
+        order by query_id, nn_rank
+    """
 
 
 _NORM_SQL = (
@@ -908,6 +952,64 @@ def oracle_sql() -> dict[str, str]:
             select media_id, kind, feat_json, feat_dim, decode_ok
             from read_parquet('{_fxp("expected_media_features")}')
             order by media_id
+        """,
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        # A9 with pair edges: DuckDB recomputes the transitive clusters
+        # independently — anchor contraction (mention -> entity if linked),
+        # reachability closure over the contracted graph (recursive CTE;
+        # bounded: anchors per component are entity-level), then
+        # min-mention_key labeling. Internal component ids differ from the
+        # Spark xxhash64 ids by design; the OUTPUT labeling (url, start,
+        # cluster_id) is representation-independent.
+        "cluster_pairs": f"""
+            with recursive
+            lk as (
+              select url, start,
+                     url || ':' || lpad(cast(start as varchar), 8, '0')
+                       as mk,
+                     pred_qcode
+              from read_parquet('{_fxp("expected_links")}')
+            ),
+            anch as (
+              select mk, url, start,
+                     coalesce('e:' || pred_qcode, mk) as anchor
+              from lk
+            ),
+            pe as (
+              select url_a, start_a, url_b, start_b
+              from read_parquet('{_fxp("gold_pairs")}') where same_entity
+            ),
+            e0 as (
+              select a.anchor as u, b.anchor as v
+              from pe
+              join anch a on pe.url_a = a.url and pe.start_a = a.start
+              join anch b on pe.url_b = b.url and pe.start_b = b.start
+              where a.anchor <> b.anchor
+            ),
+            edges as (
+              select u, v from e0 union select v as u, u as v from e0
+            ),
+            reach as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u
+            ),
+            comp as (
+              select u as anchor, least(min(v), u) as root
+              from reach group by u
+            ),
+            withc as (
+              select anch.mk, anch.url, anch.start,
+                     coalesce(comp.root, anch.anchor) as component
+              from anch left join comp on anch.anchor = comp.anchor
+            ),
+            cid as (
+              select component, min(mk) as cluster_id
+              from withc group by component
+            )
+            select w.url, w.start, c.cluster_id
+            from withc w join cid c on w.component = c.component
+            order by w.url, w.start
         """,
         "simhash": f"""
             with d as (
