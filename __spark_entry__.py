@@ -266,6 +266,42 @@ def q_pairwise_f1(spark, sf):
     return pairwise_f1(res["tables"]["gold_pairs"], res["clusters"], exp)
 
 
+def q_topk_links(spark, sf):
+    """F7 tail/A8 — per-mention sorted top-k predictions incl. NOTA
+    ('Q-1'), golden-checked against the sequential NumPy oracle's replay
+    (scores compared rank-wise; the rounded float itself is excluded from
+    the hash like `links` excludes confidence)."""
+    from refined_spark.operators.scoring import topk_from_logits
+
+    res = _pipeline(spark, sf)
+    return topk_from_logits(res["with_logits"], k=5).select(
+        "url", "start", "topk_rank", "qcode").orderBy(
+        "url", "start", "topk_rank")
+
+
+def q_class_check(spark, sf):
+    """F9 — entity-classes ∩ predicted-classes check; failed spans get
+    confidence -1.0 (class_handler.py:104-118)."""
+    from refined_spark.operators.scoring import with_class_check
+
+    res = _pipeline(spark, sf)
+    t = res["tables"]
+    return with_class_check(res["links"], res["mentions"], t["entity"],
+                            t["topic_class"]).select(
+        "url", "start", "pred_qcode", "failed_class_check"
+    ).orderBy("url", "start")
+
+
+def q_el_metrics(spark, sf):
+    """A5/A6 — set-based gold-qcode EL metrics (tp/fp/fn/P/R/F1/accuracy/
+    gold_recall), reference evaluation.py:19-126 + metrics.py:38-88."""
+    from refined_spark.operators.metrics import el_metrics
+
+    res = _pipeline(spark, sf)
+    return el_metrics(_fx(spark, sf, "gold_spans"), res["links"],
+                      res["candidates"])
+
+
 def q_class_closure(spark, sf):
     from refined_spark.operators.closure import class_closure
 
@@ -501,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "clusters": q_clusters,
         "pairwise_f1": q_pairwise_f1,
+        "topk_links": q_topk_links,
+        "class_check": q_class_check,
+        "el_metrics": q_el_metrics,
         "class_closure": q_class_closure,
         "block_sizes": q_block_sizes,
         "dedup_exact": q_dedup_exact,
@@ -772,6 +811,74 @@ def oracle_sql() -> dict[str, str]:
                    cast(1.0 as double) as recall,
                    cast(1.0 as double) as f1
             from flags
+        """,
+        "topk_links": f"""
+            select url, start, topk_rank, qcode
+            from read_parquet('{_fxp("expected_topk")}')
+            order by url, start, topk_rank
+        """,
+        "class_check": f"""
+            select l.url, l.start, l.pred_qcode,
+                   coalesce(l.pred_qcode is not null
+                            and len(e.class_idx) > 0
+                            and (t.class_idx is null
+                                 or not list_contains(e.class_idx,
+                                                      t.class_idx)),
+                            false) as failed_class_check
+            from read_parquet('{_fxp("expected_links")}') l
+            join read_parquet('{_fxp("gold_spans")}') s
+              on l.url = s.url and l.start = s.start
+            left join read_parquet('{_fxp("entity")}') e
+              on e.qcode = l.pred_qcode
+            left join read_parquet('{_fxp("topic_class")}') t
+              on t.topic = s.ctx_word
+            order by l.url, l.start
+        """,
+        "el_metrics": f"""
+            with gold as (
+              select url, start, gold_qcode
+              from read_parquet('{_fxp("gold_spans")}')
+              where gold_qcode is not null and gold_qcode <> 'Q0'
+            ), pred as (
+              select url, start, pred_qcode
+              from read_parquet('{_fxp("expected_links")}')
+              where pred_qcode is not null
+            ), in_cand as (
+              select count(*) as gold_entity_in_cand from gold g
+              where exists (
+                select 1 from read_parquet('{_fxp("expected_candidates")}') c
+                where c.url = g.url and c.start = g.start
+                  and c.qcode = g.gold_qcode)
+            ), flags as (
+              select (g.gold_qcode = p.pred_qcode) as hit,
+                     g.gold_qcode is not null as has_gold,
+                     p.pred_qcode is not null as has_pred
+              from gold g full outer join pred p
+                on g.url = p.url and g.start = p.start
+            ), agg as (
+              select cast(sum(case when has_gold then 1 else 0 end)
+                          as bigint) as num_gold_spans,
+                     cast(sum(case when coalesce(hit, false) then 1 else 0
+                          end) as bigint) as tp,
+                     cast(sum(case when has_pred
+                          and not coalesce(hit, false) then 1 else 0 end)
+                          as bigint) as fp,
+                     cast(sum(case when has_gold
+                          and not coalesce(hit, false) then 1 else 0 end)
+                          as bigint) as fn
+              from flags
+            )
+            select num_gold_spans, tp, fp, fn, gold_entity_in_cand,
+                   round(tp / (tp + fp + 1e-8), 6) as precision,
+                   round(tp / (tp + fn + 1e-8), 6) as recall,
+                   round(2.0 * (tp / (tp + fp + 1e-8))
+                         * (tp / (tp + fn + 1e-8))
+                         / ((tp / (tp + fp + 1e-8))
+                            + (tp / (tp + fn + 1e-8)) + 1e-8), 6) as f1,
+                   round(tp / (num_gold_spans + 1e-8), 6) as accuracy,
+                   round(gold_entity_in_cand / (num_gold_spans + 1e-8), 6)
+                     as gold_recall
+            from agg cross join in_cand
         """,
         "type_prune": f"""
             with recursive edges as (

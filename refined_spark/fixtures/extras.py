@@ -69,9 +69,76 @@ def gen_media(out_dir: str, n: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# expected_topk (F7 golden via the sequential NumPy oracle)
+# --------------------------------------------------------------------------
+
+def _rebuild_oracle_world(cfg):
+    """Deterministic replay of the core generator's universe + docs +
+    oracle lookup tables (same seeds — the core corpus parquet on disk is
+    byte-identical to this reconstruction)."""
+    from ..functions.embed import hash_embed
+    from . import gen as g
+    from . import oracle as o
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    uni = g.build_universe(cfg, rng)
+    docs, spans = g.build_docs(cfg, uni)
+    pem: dict[str, list[tuple[str, float]]] = {}
+    for r in uni["pem_rows"]:
+        pem.setdefault(r["surface_form"], []).append((r["qcode"], r["prob"]))
+    for k in pem:
+        pem[k] = o.sort_candidates(pem[k])
+    human_qcodes = {e["qcode"] for e in uni["entities"] if e["is_human"]}
+    closure_by_qcode = {e["qcode"]: set(e["class_idx"])
+                        for e in uni["entities"]}
+    emb_by_qcode = {
+        e["qcode"]: (np.asarray(hash_embed(e["topic"]), dtype=np.float32)
+                     if e["description"] is not None
+                     else np.zeros(config.EMB_DIM, dtype=np.float32))
+        for e in uni["entities"]
+    }
+    topic_class = {t: uni["cidx"][c] for t, c in uni["topic_rows"].items()}
+    weights = dict(class_overlap=2.0, pem=1.5, class_dist=-1.0,
+                   desc_score=3.0, bias=0.0)
+    return dict(uni=uni, docs=docs, spans=spans, pem=pem,
+                human_qcodes=human_qcodes, closure_by_qcode=closure_by_qcode,
+                emb_by_qcode=emb_by_qcode, topic_class=topic_class,
+                weights=weights)
+
+
+def gen_expected_topk(out_dir: str, world: dict, k: int = 5) -> None:
+    import os
+
+    from . import oracle as o
+
+    spans_by_url: dict[str, list] = {}
+    for sp in world["spans"]:
+        spans_by_url.setdefault(sp["url"], []).append(sp)
+    rows = []
+    for url in sorted(spans_by_url):
+        spans = sorted(spans_by_url[url], key=lambda s: s["start"])
+        cand_map = o.get_candidates_for_doc(
+            spans, world["pem"], world["human_qcodes"])
+        topk = o.topk_doc(spans, cand_map, world["emb_by_qcode"],
+                          world["closure_by_qcode"], world["topic_class"],
+                          world["weights"], k=k)
+        for sp in spans:
+            for rank, (q, s) in enumerate(topk[sp["start"]], 1):
+                rows.append(dict(url=url, start=sp["start"], topk_rank=rank,
+                                 qcode=q, score=s))
+    _write(os.path.join(out_dir, "expected_topk.parquet"), rows, pa.schema([
+        ("url", pa.string()), ("start", pa.int32()),
+        ("topk_rank", pa.int32()), ("qcode", pa.string()),
+        ("score", pa.float64()),
+    ]))
+
+
+# --------------------------------------------------------------------------
 # entry point
 # --------------------------------------------------------------------------
 
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
+    world = _rebuild_oracle_world(cfg)
+    gen_expected_topk(out_dir, world)

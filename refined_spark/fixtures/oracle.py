@@ -139,6 +139,27 @@ def link_doc(spans, cand_map, emb_by_qcode, closure_by_qcode, topic_class,
     return links
 
 
+def topk_doc(spans, cand_map, emb_by_qcode, closure_by_qcode, topic_class,
+             weights, k: int = 5):
+    """Per-mention sorted top-k (qcode|'Q-1', softmax score round 4) —
+    the sequential replay of the reference's top_k_predicted_entities
+    (processor.py:366-397): softmax incl. NOTA, sort desc with stable
+    first-occurrence tie-break."""
+    out = {}
+    for sp in spans:
+        cands = cand_map[sp["start"]]
+        _logits, probs = score_candidates(
+            cands, sp.get("ctx_word"), emb_by_qcode, closure_by_qcode,
+            topic_class, weights,
+        )
+        names = [q for q, _p, _s in cands] + ["Q-1"]
+        order = sorted(range(len(names)), key=lambda i: (-probs[i], i))
+        out[sp["start"]] = [
+            (names[i], round(float(probs[i]), 4)) for i in order[:k]
+        ]
+    return out
+
+
 class UnionFind:
     def __init__(self):
         self.parent: dict[str, str] = {}

@@ -79,11 +79,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     for _i in range(max_iter):
         cur = _canonical_edges(_small_star(_large_star(cur)))
         cur = cur.localCheckpoint()
+        # convergence signature over the edge MULTISET: sum+xor of the
+        # per-edge hash so duplicate edges cannot cancel out of the xor
+        # (an even-multiplicity edge is invisible to bit_xor alone)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            F.expr("sum(xxhash64(u, v))").alias("s"),
         ).collect()[0]
-        sig = (sig["n"], sig["h"])
+        sig = (sig["n"], sig["h"], sig["s"])
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -32,6 +32,60 @@ def _pair_flags(pairs: DataFrame, clusters: DataFrame,
     )
 
 
+def el_metrics(gold_spans: DataFrame, links: DataFrame,
+               candidates: DataFrame) -> DataFrame:
+    """A5/A6 — set-based gold-qcode EL metrics, the reference's primary
+    correctness instrument (/root/reference/src/refined/evaluation/
+    evaluation.py:19-126 + evaluation/metrics.py:38-88):
+
+    gold set = {(url, start, gold_qcode)} for KB-annotated spans;
+    pred set = {(url, start, pred_qcode)} for thresholded non-NIL links;
+    tp/fp/fn over set intersection/differences; precision/recall/f1 with
+    the reference's 1e-8 smoothing; accuracy = tp/num_gold; gold_recall =
+    |gold qcode in span's candidate set| / num_gold.
+
+    One full-outer join on the span key + one candidate semi-join, then a
+    global single-row aggregate — all shuffles are metric-sized.
+    """
+    gold = (gold_spans
+            .where(F.col("gold_qcode").isNotNull()
+                   & (F.col("gold_qcode") != "Q0"))
+            .select("url", "start", "gold_qcode"))
+    pred = (links.where(F.col("pred_qcode").isNotNull())
+            .select("url", "start", "pred_qcode"))
+    in_cand = (gold.join(
+        candidates.select("url", "start",
+                          F.col("qcode").alias("gold_qcode")).distinct(),
+        ["url", "start", "gold_qcode"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("gold_entity_in_cand")))
+    flags = gold.join(pred, ["url", "start"], "full_outer").select(
+        (F.col("gold_qcode") == F.col("pred_qcode")).alias("hit"),
+        F.col("gold_qcode").isNotNull().alias("has_gold"),
+        F.col("pred_qcode").isNotNull().alias("has_pred"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("has_gold").cast("long")).alias("num_gold_spans"),
+        F.sum((F.coalesce("hit", F.lit(False))).cast("long")).alias("tp"),
+        F.sum((F.col("has_pred")
+               & ~F.coalesce("hit", F.lit(False))).cast("long")).alias("fp"),
+        F.sum((F.col("has_gold")
+               & ~F.coalesce("hit", F.lit(False))).cast("long")).alias("fn"),
+    )
+    eps = F.lit(1e-8)
+    p = F.col("tp") / (F.col("tp") + F.col("fp") + eps)
+    r = F.col("tp") / (F.col("tp") + F.col("fn") + eps)
+    return agg.crossJoin(in_cand).select(
+        "num_gold_spans", "tp", "fp", "fn", "gold_entity_in_cand",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2.0 * p * r / (p + r + eps), 6).alias("f1"),
+        F.round(F.col("tp") / (F.col("num_gold_spans") + eps), 6)
+        .alias("accuracy"),
+        F.round(F.col("gold_entity_in_cand")
+                / (F.col("num_gold_spans") + eps), 6).alias("gold_recall"),
+    )
+
+
 def pairwise_f1(pairs: DataFrame, ours: DataFrame,
                 reference: DataFrame) -> DataFrame:
     """pairs: gold_pairs (url_a, start_a, url_b, start_b, ...); ours /

@@ -349,6 +349,87 @@ def links_from_logits(with_logits: DataFrame,
     )
 
 
+def topk_from_logits(with_logits: DataFrame, k: int = 5) -> DataFrame:
+    """F7 tail — per-mention sorted top-k predictions incl. the NOTA
+    sentinel, mirroring the reference's ``top_k_predicted_entities``
+    (/root/reference/src/refined/inference/processor.py:366-397: softmax
+    sort desc, pad entities excluded, entity_not_in_list kept as id -1 —
+    rendered 'Q-1' here) and the API's top-k-per-cell output
+    (api/app/services/job_service.py:143-179).
+
+    Pure array math per mention row (zero shuffle): scores =
+    softmax(logits + NOTA 0), stable sort by (score desc, candidate rank),
+    slice k, posexplode. Scores round to 4 decimals like the reference.
+    Output: (url, start, mention_key, topk_rank, qcode, score).
+    """
+    from .candidates import start_from_mention_key, url_from_mention_key
+
+    sum_exp = F.aggregate("logits", F.lit(0.0).cast("double"),
+                          lambda a, x: a + F.exp(x))
+    denom = sum_exp + F.lit(1.0)  # + exp(0) for NOTA
+    d = with_logits.withColumn("_denom", denom)
+    # struct sort is lexicographic ascending -> (-score, pos) gives
+    # score desc with first-occurrence (candidate-rank) tie-break;
+    # NOTA's pos = size(cand_arr) places it after score-ties
+    entries = F.concat(
+        F.expr("transform(arrays_zip(cand_arr, logits), (z, i) -> "
+               "struct(-exp(z.logits) / _denom as neg, i as pos, "
+               "z.cand_arr.qcode as qcode))"),
+        F.expr("array(struct(-1.0D / _denom as neg, "
+               "size(cand_arr) as pos, 'Q-1' as qcode))"),
+    )
+    top = F.slice(F.array_sort(entries), 1, k)
+    z = d.select(
+        "mention_key",
+        F.posexplode(top).alias("pos_out", "e"),
+    )
+    return z.select(
+        url_from_mention_key().alias("url"),
+        start_from_mention_key().alias("start"),
+        "mention_key",
+        (F.col("pos_out") + 1).cast("int").alias("topk_rank"),
+        F.col("e.qcode").alias("qcode"),
+        F.round(-F.col("e.neg"), 4).alias("score"),
+    )
+
+
+def with_class_check(links: DataFrame, mentions: DataFrame,
+                     entity: DataFrame, topic_class: DataFrame) -> DataFrame:
+    """F9 — entity-classes vs predicted-classes consistency check
+    (/root/reference/src/refined/doc_preprocessing/class_handler.py:104-118):
+    a linked span fails when the predicted entity's (implied) class set is
+    non-empty and disjoint from the span's predicted classes; failing spans
+    get confidence -1.0. The deterministic ET stand-in predicts the class
+    of the context topic word (same domain the class_overlap feature uses).
+
+    Broadcast dim joins only — no shuffle of the links table beyond its
+    existing partitioning.
+    """
+    m = mentions.select("mention_key", "ctx_word")
+    t = F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
+                    .withColumnRenamed("class_idx", "t_class_idx"))
+    ent = F.broadcast(entity.select(F.col("qcode").alias("pred_qcode"),
+                                    F.col("class_idx").alias("ent_classes")))
+    j = (links.join(m, "mention_key", "left")
+         .join(t, "ctx_word", "left")
+         .join(ent, "pred_qcode", "left"))
+    failed = (
+        F.col("pred_qcode").isNotNull()
+        & (F.size(F.coalesce("ent_classes", F.array())) > 0)
+        & (F.col("t_class_idx").isNull()
+           | ~F.array_contains("ent_classes",
+                               F.col("t_class_idx").cast("smallint")))
+    )
+    # unlinked spans keep the reference's default failed_class_check=False
+    # (class_check_span only touches spans with a predicted entity)
+    return (
+        j.withColumn("failed_class_check", F.coalesce(failed, F.lit(False)))
+        .withColumn("confidence",
+                    F.when(failed, F.lit(-1.0)).otherwise(F.col("confidence")))
+        .drop("ctx_word", "t_class_idx", "ent_classes")
+    )
+
+
 def explode_scored_arrays(with_logits: DataFrame) -> DataFrame:
     """Array frame -> per-(mention, candidate) scored rows (the public
     ``scored`` table). Pure map."""

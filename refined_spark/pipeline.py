@@ -145,4 +145,4 @@ def run_pipeline(
     clusters = cluster_mentions(links)
     return dict(mentions=mentions, candidates=candidates, scored=scored,
                 links=links, clusters=clusters, cand_arr=cand_arr,
-                tables=t)
+                with_logits=with_logits, tables=t)
