@@ -302,6 +302,18 @@ def q_el_metrics(spark, sf):
                       res["candidates"])
 
 
+def q_date_resolve(spark, sf):
+    """E9 — DATE special-span resolution (split/strip/parse grammar +
+    doc-level day-first/month-first vote), reference date_utils.py:97-229.
+    Fully Column-work in Spark; the DuckDB oracle re-evaluates the same
+    grammar independently (regex split, CASE parse cascade, url-vote CTE).
+    """
+    from refined_spark.operators.dates import resolve_dates
+
+    return resolve_dates(_fx(spark, sf, "date_spans")).orderBy(
+        "url", "start", "part_idx")
+
+
 def q_class_closure(spark, sf):
     from refined_spark.operators.closure import class_closure
 
@@ -537,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "clusters": q_clusters,
         "pairwise_f1": q_pairwise_f1,
+        "date_resolve": q_date_resolve,
         "topk_links": q_topk_links,
         "class_check": q_class_check,
         "el_metrics": q_el_metrics,
@@ -575,6 +588,137 @@ def _simhash_half_sql(hex_off: int) -> str:
         f"case when list_sum(list_transform(ws, w -> {tok_bit})) > 0 "
         f"then (1::BIGINT << j) else 0::BIGINT end)), 0)::BIGINT"
     )
+
+
+def _date_resolve_oracle_sql() -> str:
+    """DuckDB replay of resolve_dates: same grammar constants (shared
+    spec strings), independent evaluation — RE2 split/extract, CASE parse
+    cascade, url-level format-vote CTE. Offsets use strpos(text, part):
+    the fixture grammar guarantees parts are unique non-substrings, where
+    the engine's sequential scan and strpos agree."""
+    from refined_spark.operators.dates import (
+        P_DAY,
+        P_DMY,
+        P_MDY,
+        P_MONTH,
+        P_MONTH_DAY,
+        P_MONTH_YEAR,
+        P_NUM,
+        P_YEAR,
+        PREFIX_RE,
+        SPLIT_RE,
+    )
+
+    def esc(p):
+        # DuckDB standard string literals: only quotes need doubling
+        # (backslash is NOT an escape character there)
+        return p.replace("'", "''")
+
+    mn = ("list_position(['jan','feb','mar','apr','may','jun','jul','aug',"
+          "'sep','oct','nov','dec'], substr(replace({x}, '.', ''), 1, 3))"
+          "::INT")
+
+    def g(pat, i):
+        return f"regexp_extract(s, '{esc(pat)}', {i})"
+
+    return f"""
+        with spans as (
+          select * from read_parquet('{_fxp("date_spans")}')
+        ), sp as (
+          select *, regexp_split_to_array(date_text, '{esc(SPLIT_RE)}') as p
+          from spans
+        ), parts as (
+          select url, start, date_text,
+                 cast(i - 1 as int) as part_idx,
+                 p[i] as date_part,
+                 cast(strpos(date_text, p[i]) - 1 as int) as "offset",
+                 regexp_replace(lower(p[i]), '{esc(PREFIX_RE)}', '') as s
+          from sp, unnest(generate_series(1, len(p))) as t(i)
+        ), parsed as (
+          select *,
+            case when {g(P_YEAR, 1)} <> '' then 'year'
+                 when {g(P_MONTH, 1)} <> '' then 'monthname'
+                 when {g(P_DAY, 1)} <> '' then 'dayord'
+                 when {g(P_MDY, 1)} <> '' then 'mdy'
+                 when {g(P_DMY, 2)} <> '' then 'dmy'
+                 when {g(P_MONTH_DAY, 1)} <> '' then 'md'
+                 when {g(P_MONTH_YEAR, 1)} <> '' then 'my'
+                 when {g(P_NUM, 1)} <> '' then 'num' end as kind
+          from parts
+        ), fields as (
+          select *,
+            case kind
+              when 'dayord' then {g(P_DAY, 1)}::INT
+              when 'mdy' then {g(P_MDY, 2)}::INT
+              when 'dmy' then {g(P_DMY, 1)}::INT
+              when 'md' then {g(P_MONTH_DAY, 2)}::INT
+              when 'num' then {g(P_NUM, 1)}::INT end as d0,
+            case kind
+              when 'monthname' then {mn.format(x=g(P_MONTH, 1))}
+              when 'mdy' then {mn.format(x=g(P_MDY, 1))}
+              when 'dmy' then {mn.format(x=g(P_DMY, 2))}
+              when 'md' then {mn.format(x=g(P_MONTH_DAY, 1))}
+              when 'my' then {mn.format(x=g(P_MONTH_YEAR, 1))}
+              when 'num' then {g(P_NUM, 2)}::INT end as m0,
+            case kind
+              when 'year' then {g(P_YEAR, 1)}::INT
+              when 'mdy' then {g(P_MDY, 3)}::INT
+              when 'dmy' then {g(P_DMY, 3)}::INT
+              when 'my' then {g(P_MONTH_YEAR, 2)}::INT
+              when 'num' then {g(P_NUM, 3)}::INT end as y0
+          from parsed where kind is not null
+        ), revealed as (
+          select *,
+            case when kind = 'num' and d0 > 12 and m0 <= 12
+                 then 'day_first'
+                 when kind = 'num' and m0 > 12 and d0 <= 12
+                 then 'month_first' end as reveal
+          from fields
+        ), votes as (
+          select url,
+                 case when count(distinct reveal) = 1 then min(reveal) end
+                   as doc_fmt
+          from revealed where reveal is not null group by url
+        ), resolved as (
+          select r.*,
+                 coalesce(r.reveal, v.doc_fmt) as eff,
+                 (r.kind = 'num' and r.d0 <= 12 and r.m0 <= 12) as ambig
+          from revealed r left join votes v on r.url = v.url
+        ), final as (
+          select url, start, part_idx, "offset", date_part,
+            case when kind <> 'num' then d0
+                 when eff = 'day_first' then d0
+                 when eff = 'month_first' then m0 end as day,
+            case when kind <> 'num' then m0
+                 when eff = 'day_first' then m0
+                 when eff = 'month_first' then d0 end as month,
+            case when kind <> 'num' or eff is not null then y0 end as year,
+            not (ambig and eff is null) as known_format,
+            (kind <> 'num' and coalesce(d0, 1) between 1 and 31)
+              or (kind = 'num' and ambig and least(d0, m0) >= 1)
+              or (kind = 'num' and not ambig
+                  and least(d0, m0) between 1 and 12
+                  and greatest(d0, m0) <= 31) as valid
+          from resolved
+        )
+        select url, start, part_idx, "offset", date_part, day, month, year,
+               known_format,
+               case
+                 when day is not null and month is not null
+                      and year is not null
+                 then '[timepoint: ["' || year || '/' || month || '/'
+                      || day || '"]]'
+                 when day is null and month is not null
+                      and year is not null
+                 then '[timepoint: ["' || year || '/' || month || '"]]'
+                 when day is null and month is null and year is not null
+                 then '[timepoint: ["' || year || '"]]'
+                 when day is not null and month is not null and year is null
+                 then '[day of the year: ["' || month || '/' || day || '"]]'
+               end as timepoint
+        from final where valid
+        order by url, start, part_idx
+    """
 
 
 def _ann_lsh_oracle_sql(bits: int = 12, dim: int = 64, k: int = 3) -> str:
@@ -1060,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{_fxp("expected_media_features")}')
             order by media_id
         """,
+        "date_resolve": _date_resolve_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         # A9 with pair edges: DuckDB recomputes the transitive clusters
         # independently — anchor contraction (mention -> entity if linked),

@@ -69,6 +69,104 @@ def gen_media(out_dir: str, n: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# date spans (E9)
+# --------------------------------------------------------------------------
+
+_MONTH_FULL = ["January", "February", "March", "April", "May", "June",
+               "July", "August", "September", "October", "November",
+               "December"]
+_MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+               "Sep", "Oct", "Nov", "Dec"]
+
+
+def _ordinal(d: int) -> str:
+    if 11 <= d % 100 <= 13:
+        return f"{d}th"
+    return f"{d}" + {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th")
+
+
+def _sample_date_text(rng, mode: str) -> str:
+    """One date-span text from the closed grammar (date_test_examples.py
+    shapes). mode controls whether numeric dates reveal day-first /
+    month-first order."""
+    y = 1900 + int(rng.integers(0, 200))
+    m = 1 + int(rng.integers(0, 12))
+    d_lo = 1 + int(rng.integers(0, 12))     # ambiguous day (<=12)
+    d_hi = 13 + int(rng.integers(0, 16))    # revealing day (13..28)
+    sep = "/-."[int(rng.integers(0, 3))]
+    mname = (_MONTH_FULL[m - 1] if rng.random() < 0.5 else
+             _MONTH_ABBR[m - 1] + ("." if rng.random() < 0.5 else ""))
+    prefix = ["early ", "late ", "mid-", "the start of ", "the end of ",
+              "the year "][int(rng.integers(0, 6))]
+    kind = int(rng.integers(0, 10))
+    if kind == 0:
+        return str(y)
+    if kind == 1:
+        return prefix + str(y) if "year" in prefix else prefix + mname
+    if kind == 2:
+        return _ordinal(1 + int(rng.integers(0, 28)))
+    if kind == 3:
+        return f"{mname} {_ordinal(1 + int(rng.integers(0, 28)))}"
+    if kind == 4:
+        return f"{mname} {y}"
+    if kind == 5:
+        v = rng.random()
+        if v < 0.4:
+            return f"{mname} {_ordinal(1 + int(rng.integers(0, 28)))} {y}"
+        if v < 0.7:
+            return f"{mname} {1 + int(rng.integers(0, 28))}, {y}"
+        return f"{1 + int(rng.integers(0, 28))} {mname} {y}"
+    if kind == 6:  # range of two distinct years (offsets stay searchable)
+        y2 = y + 1 + int(rng.integers(1, 30))
+        joiner = [" to ", " - ", "--"][int(rng.integers(0, 3))]
+        return f"{y}{joiner}{y2}"
+    if kind == 7:  # numeric
+        if mode == "day_first":
+            return f"{d_hi}{sep}{m}{sep}{y}"
+        if mode == "month_first":
+            return f"{m}{sep}{d_hi}{sep}{y}"
+        return f"{d_lo}{sep}{m}{sep}{y}"  # ambiguous
+    if kind == 8:  # ambiguous numeric regardless of mode
+        return f"{d_lo}{sep}{1 + int(rng.integers(0, 12))}{sep}{y}"
+    # unparseable junk (reference maps these to None too)
+    return ["bimonthly", "80s", "the 1980s", "1-day",
+            "nineteenth century"][int(rng.integers(0, 5))]
+
+
+def gen_date_spans(out_dir: str, n_urls: int) -> None:
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(4242))
+    rows = []
+    for u in range(n_urls):
+        url = f"https://example.org/datepage/{u:05d}"
+        mode = ["day_first", "month_first", "conflict", "none"][u % 4]
+        start = 0
+        n_spans = 3 + int(rng.integers(0, 5))
+        forced = (["day_first", "month_first"] if mode == "conflict"
+                  else [mode] if mode in ("day_first", "month_first")
+                  else [])
+        for j in range(n_spans):
+            if j < len(forced):  # guarantee the reveal rows exist
+                y = 1900 + int(rng.integers(0, 200))
+                m = 1 + int(rng.integers(0, 12))
+                d = 13 + int(rng.integers(0, 16))
+                sep = "/-."[int(rng.integers(0, 3))]
+                txt = (f"{d}{sep}{m}{sep}{y}" if forced[j] == "day_first"
+                       else f"{m}{sep}{d}{sep}{y}")
+            else:
+                txt = _sample_date_text(
+                    rng, mode if mode in ("day_first", "month_first")
+                    else "ambig")
+            rows.append(dict(url=url, start=start, date_text=txt))
+            start += len(txt) + 1 + int(rng.integers(5, 60))
+    _write(os.path.join(out_dir, "date_spans.parquet"), rows, pa.schema([
+        ("url", pa.string()), ("start", pa.int32()),
+        ("date_text", pa.string()),
+    ]))
+
+
+# --------------------------------------------------------------------------
 # expected_topk (F7 golden via the sequential NumPy oracle)
 # --------------------------------------------------------------------------
 
@@ -142,3 +240,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_media(out_dir, n_media)
     world = _rebuild_oracle_world(cfg)
     gen_expected_topk(out_dir, world)
+    gen_date_spans(out_dir, {"t1": 24}.get(tier, 120))

@@ -1,0 +1,95 @@
+"""E9 date resolution — golden cases shaped after the reference's
+date_test_examples.py (resolvable subset of the grammar; decades/centuries
+map to no output there too)."""
+
+from __future__ import annotations
+
+import pytest
+
+from refined_spark.operators.dates import resolve_dates
+
+# (text, expected list of (day, month, year, known_format)) — single-doc
+# context (no format vote available)
+GOLDEN = [
+    ("2012", [(None, None, 2012, True)]),
+    ("the start of 2012", [(None, None, 2012, True)]),
+    ("the end of 2012", [(None, None, 2012, True)]),
+    ("the year 1988", [(None, None, 1988, True)]),
+    ("1945 to 1988", [(None, None, 1945, True), (None, None, 1988, True)]),
+    ("23rd", [(23, None, None, True)]),
+    ("February", [(None, 2, None, True)]),
+    ("early June", [(None, 6, None, True)]),
+    ("early-June", [(None, 6, None, True)]),
+    ("mid-June", [(None, 6, None, True)]),
+    ("late-June", [(None, 6, None, True)]),
+    ("February 21st", [(21, 2, None, True)]),
+    ("Feb 21st", [(21, 2, None, True)]),
+    ("Feb. 21st", [(21, 2, None, True)]),
+    ("March 2021", [(None, 3, 2021, True)]),
+    ("February 21st 2009", [(21, 2, 2009, True)]),
+    ("Feb. 21st 2009", [(21, 2, 2009, True)]),
+    ("30/01/2021", [(30, 1, 2021, True)]),
+    ("01/30/2021", [(30, 1, 2021, True)]),
+    # ambiguous alone in its doc: fields nulled, known_format False
+    ("01/01/2021", [(None, None, None, False)]),
+    ("30-01-2021", [(30, 1, 2021, True)]),
+    ("01-30-2021", [(30, 1, 2021, True)]),
+    ("30.01.2021", [(30, 1, 2021, True)]),
+    # unparseable -> no rows
+    ("80s", []),
+    ("the 1980s", []),
+    ("the nineteenth century", []),
+    ("19th century", []),      # "19th" would be a day, but "century" trails
+    ("1-day", []),
+    ("bimonthly", []),
+]
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    # one url per case: no cross-case vote contamination
+    rows = [(f"u{i:03d}", 0, text) for i, (text, _) in enumerate(GOLDEN)]
+    df = spark.createDataFrame(rows, "url: string, start: int, "
+                                     "date_text: string")
+    out = {}
+    for r in resolve_dates(df).collect():
+        out.setdefault(r["url"], []).append(
+            (r["day"], r["month"], r["year"], r["known_format"]))
+    return out
+
+
+def test_golden_cases(resolved):
+    for i, (text, want) in enumerate(GOLDEN):
+        got = resolved.get(f"u{i:03d}", [])
+        assert got == want, f"{text!r}: {got} != {want}"
+
+
+def test_doc_format_vote(spark):
+    """resolve_multiple: one revealing date disambiguates the others."""
+    rows = [
+        ("d1", 0, "30/01/2021"),   # reveals day_first
+        ("d1", 20, "01/02/2021"),  # ambiguous -> day=1, month=2
+        ("d2", 0, "01/30/2021"),   # reveals month_first
+        ("d2", 20, "01/02/2021"),  # ambiguous -> month=1, day=2
+        ("d3", 0, "30/01/2021"),   # conflict: both formats revealed
+        ("d3", 20, "01/30/2021"),
+        ("d3", 40, "01/02/2021"),  # -> stays unresolved
+    ]
+    df = spark.createDataFrame(rows, "url: string, start: int, "
+                                     "date_text: string")
+    got = {(r["url"], r["start"]): (r["day"], r["month"], r["year"],
+                                    r["known_format"], r["timepoint"])
+           for r in resolve_dates(df).collect()}
+    assert got[("d1", 20)] == (1, 2, 2021, True,
+                               '[timepoint: ["2021/2/1"]]')
+    assert got[("d2", 20)] == (2, 1, 2021, True,
+                               '[timepoint: ["2021/1/2"]]')
+    assert got[("d3", 40)] == (None, None, None, False, None)
+
+
+def test_range_offsets(spark):
+    df = spark.createDataFrame([("u", 0, "1945 to 1988")],
+                               "url: string, start: int, date_text: string")
+    rows = sorted((r["part_idx"], r["offset"], r["date_part"])
+                  for r in resolve_dates(df).collect())
+    assert rows == [(0, 0, "1945"), (1, 8, "1988")]
