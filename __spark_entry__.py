@@ -224,6 +224,30 @@ def q_pem_build(spark, sf):
         "surface_form", "rank")
 
 
+def q_link_extract(spark, sf):
+    """S3/E10 — raw-anchor scan: regexp anchors → URI cleanup → redirect +
+    title→qcode joins → deny anti-join → (surface, qcode) counts (the A1
+    input shape)."""
+    from refined_spark.operators.anchors import anchor_link_counts
+
+    return anchor_link_counts(
+        _fx(spark, sf, "wiki_pages"), _fx(spark, sf, "redirects"),
+        _fx(spark, sf, "title_qcode"), _fx(spark, sf, "deny_qcodes"),
+    ).orderBy("surface_form_raw", "qcode")
+
+
+def q_anchor_pem(spark, sf):
+    """S3 → A1 composition: the PEM alias table built from RAW anchors
+    end-to-end (the reference's generate_pem flow)."""
+    from refined_spark.operators.anchors import anchor_link_counts
+    from refined_spark.operators.pem_build import build_pem
+
+    counts = anchor_link_counts(
+        _fx(spark, sf, "wiki_pages"), _fx(spark, sf, "redirects"),
+        _fx(spark, sf, "title_qcode"), _fx(spark, sf, "deny_qcodes"))
+    return build_pem(counts).orderBy("surface_form", "rank")
+
+
 def q_entity_index(spark, sf):
     from refined_spark.operators.pem_build import build_entity_index
 
@@ -543,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
+        "link_extract": q_link_extract,
+        "anchor_pem": q_anchor_pem,
         "entity_index": q_entity_index,
         "mention_detect": q_mention_detect,
         "candidates": q_candidates,
@@ -588,6 +614,53 @@ def _simhash_half_sql(hex_off: int) -> str:
         f"case when list_sum(list_transform(ws, w -> {tok_bit})) > 0 "
         f"then (1::BIGINT << j) else 0::BIGINT end)), 0)::BIGINT"
     )
+
+
+def _anchor_counts_cte() -> str:
+    """DuckDB replay of the S3 anchor ETL as a `counts` CTE body:
+    regexp anchor scan (group-indexed extract_all, zipped by position),
+    URI cleanup, redirect follow, title→qcode map, deny anti-join,
+    per-(surface, qcode) counts."""
+    pat = '<a href="([^"]+)">([^>]+)</a>'
+    return f"""
+        pages as (select * from read_parquet('{_fxp("wiki_pages")}')),
+        anch as (
+          select page_title, uris[i] as uri, surfs[i] as surface_form_raw
+          from (select page_title,
+                       regexp_extract_all(text, '{pat}', 1) as uris,
+                       regexp_extract_all(text, '{pat}', 2) as surfs
+                from pages),
+               unnest(generate_series(1, len(uris))) as t(i)
+        ), cleaned as (
+          select surface_form_raw,
+                 upper(substr(t2, 1, 1)) || substr(t2, 2) as wiki_title
+          from (
+            select surface_form_raw,
+                   replace(replace(replace(replace(replace(
+                     replace(replace(uri, '%20', ' '), ' ', '_'),
+                     '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                     '&le;', '≤'), '&ge;', '≥') as t2
+            from anch)
+        ), followed as (
+          select c.surface_form_raw,
+                 coalesce(r.dst_title, c.wiki_title) as wiki_title
+          from cleaned c
+          left join read_parquet('{_fxp("redirects")}') r
+            on c.wiki_title = r.src_title
+        ), mapped as (
+          select f.surface_form_raw, tq.qcode
+          from followed f
+          join read_parquet('{_fxp("title_qcode")}') tq
+            on f.wiki_title = tq.wiki_title
+          where not exists (
+            select 1 from read_parquet('{_fxp("deny_qcodes")}') d
+            where d.qcode = tq.qcode)
+        ), anchor_counts as (
+          select surface_form_raw, qcode,
+                 count(*) as cnt
+          from mapped group by 1, 2
+        )
+    """
 
 
 def _date_resolve_oracle_sql() -> str:
@@ -1203,6 +1276,37 @@ def oracle_sql() -> dict[str, str]:
             select media_id, kind, feat_json, feat_dim, decode_ok
             from read_parquet('{_fxp("expected_media_features")}')
             order by media_id
+        """,
+        "link_extract": f"""
+            with {_anchor_counts_cte()}
+            select surface_form_raw, qcode, 'hyperlinks' as source,
+                   cast(cnt as bigint) as cnt
+            from anchor_counts
+            order by surface_form_raw, qcode
+        """,
+        "anchor_pem": f"""
+            with {_anchor_counts_cte()},
+            norm as (
+              select {_NORM_SQL.format(c="surface_form_raw")}
+                       as surface_form,
+                     qcode, cnt
+              from anchor_counts
+            ), counts as (
+              select surface_form, qcode, cast(sum(cnt) as bigint) as cnt
+              from norm group by 1, 2
+            ), probs as (
+              select surface_form, qcode,
+                     cast(cnt as double)
+                       / cast(sum(cnt) over (partition by surface_form)
+                              as double) as prob
+              from counts
+            )
+            select surface_form, qcode, prob,
+                   cast(row_number() over (partition by surface_form
+                        order by prob desc, qcode) as int) as rank
+            from probs
+            qualify rank <= 30
+            order by surface_form, rank
         """,
         "date_resolve": _date_resolve_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

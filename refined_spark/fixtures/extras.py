@@ -232,6 +232,99 @@ def gen_expected_topk(out_dir: str, world: dict, k: int = 5) -> None:
 
 
 # --------------------------------------------------------------------------
+# wiki pages with raw anchors (S3/E10)
+# --------------------------------------------------------------------------
+
+_FILLER = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+           "adipiscing", "elit", "sed", "do"]
+
+
+def gen_wiki_pages(out_dir: str, world: dict, n_pages: int) -> None:
+    """Pages whose text carries `<a href="uri">surface</a>` anchors over
+    the entity universe, plus redirects / title→qcode / deny tables —
+    the full input set of the S3 anchor ETL. Includes every cleanup case:
+    %20 escapes, lowercase-first uris, HTML entities, redirects, unmapped
+    targets and deny-listed qcodes."""
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(7788))
+    ents = [e for e in world["uni"]["entities"]]
+    deny = sorted({e["qcode"] for e in ents if e["never_gold"]})
+
+    # extra titles exercising the HTML-entity path (qcodes outside the
+    # universe are fine — the ETL only maps titles)
+    extra_titles = [("AT&T_Inc.", "Q900001", "AT&amp;T_Inc."),
+                    ("X≤Y_paradox", "Q900002", "X&le;Y_paradox")]
+
+    title_rows = [dict(wiki_title=e["wiki_title"], qcode=e["qcode"])
+                  for e in ents]
+    title_rows += [dict(wiki_title=t, qcode=q)
+                   for t, q, _u in extra_titles]
+    redirect_rows = []
+    for e in ents:
+        if rng.random() < 0.3:
+            redirect_rows.append(dict(
+                src_title=e["wiki_title"] + "_(old)",
+                dst_title=e["wiki_title"]))
+
+    redirect_by_ent = {r["dst_title"]: r["src_title"]
+                       for r in redirect_rows}
+
+    def uri_for(e) -> str:
+        t = e["wiki_title"]
+        r = rng.random()
+        if r < 0.35:
+            return t
+        if r < 0.55:
+            return t.replace("_", "%20")
+        if r < 0.7:
+            return t[0].lower() + t[1:]
+        if r < 0.85 and t in redirect_by_ent:
+            return redirect_by_ent[t]
+        return t
+
+    def surface_for(e) -> str:
+        lbl = e["label"]
+        r = rng.random()
+        if r < 0.6:
+            return lbl
+        if r < 0.8:
+            return "The " + lbl
+        return lbl.upper()
+
+    page_rows = []
+    for i in range(n_pages):
+        parts = []
+        n_anchors = 2 + int(rng.integers(0, 6))
+        for _j in range(n_anchors):
+            parts.extend(_FILLER[int(k)] for k in
+                         rng.integers(0, len(_FILLER), size=3))
+            r = rng.random()
+            if r < 0.08:  # unmapped target — ETL must drop it
+                parts.append('<a href="Nonexistent_Page">nothing</a>')
+            elif r < 0.16:  # entity-escape title
+                t, _q, u = extra_titles[int(rng.integers(
+                    len(extra_titles)))]
+                parts.append(f'<a href="{u}">{t.replace("_", " ")}</a>')
+            else:
+                e = ents[int(rng.integers(len(ents)))]
+                parts.append(f'<a href="{uri_for(e)}">{surface_for(e)}</a>')
+        page_rows.append(dict(page_title=f"Page_{i:05d}",
+                              text=" ".join(parts)))
+
+    _write(os.path.join(out_dir, "wiki_pages.parquet"), page_rows,
+           pa.schema([("page_title", pa.string()), ("text", pa.string())]))
+    _write(os.path.join(out_dir, "redirects.parquet"), redirect_rows,
+           pa.schema([("src_title", pa.string()),
+                      ("dst_title", pa.string())]))
+    _write(os.path.join(out_dir, "title_qcode.parquet"), title_rows,
+           pa.schema([("wiki_title", pa.string()), ("qcode", pa.string())]))
+    _write(os.path.join(out_dir, "deny_qcodes.parquet"),
+           [dict(qcode=q) for q in deny],
+           pa.schema([("qcode", pa.string())]))
+
+
+# --------------------------------------------------------------------------
 # entry point
 # --------------------------------------------------------------------------
 
@@ -241,3 +334,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     world = _rebuild_oracle_world(cfg)
     gen_expected_topk(out_dir, world)
     gen_date_spans(out_dir, {"t1": 24}.get(tier, 120))
+    gen_wiki_pages(out_dir, world, {"t1": 60}.get(tier, 400))
