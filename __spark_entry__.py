@@ -248,6 +248,55 @@ def q_anchor_pem(spark, sf):
     return build_pem(counts).orderBy("surface_form", "rank")
 
 
+def _table_parts(spark, sf):
+    from refined_spark.operators.tables import (
+        link_table_cells,
+        read_tables,
+        score_table_cells,
+    )
+    from refined_spark.pipeline import load_weights
+
+    fx = ensure_fixtures(sf)
+    cells = read_tables(spark, os.path.join(fx, "tables"))
+    weights = load_weights(_fx(spark, sf, "ed_weights"))
+    scored = score_table_cells(cells, _fx(spark, sf, "pem"),
+                               _fx(spark, sf, "entity"),
+                               _fx(spark, sf, "topic_class"), weights)
+    return scored, link_table_cells(scored)
+
+
+def q_table_link(spark, sf):
+    """S7 — CSV table-linking: csv scan → per-cell candidates → argmax."""
+    _scored, linked = _table_parts(spark, sf)
+    return linked.select("table_id", "row", "pred_qcode").orderBy(
+        "table_id", "row")
+
+
+def q_table_topk(spark, sf):
+    """A8 — top-k candidates per cell with API match flags."""
+    from refined_spark.operators.tables import table_topk
+
+    scored, linked = _table_parts(spark, sf)
+    return table_topk(scored, linked, k=3).orderBy(
+        "table_id", "row", "cand_rank")
+
+
+def q_table_accuracy(spark, sf):
+    """A6 — fork accuracy metric vs ground-truth qids (NIL protocol)."""
+    from refined_spark.operators.tables import table_accuracy
+
+    _scored, linked = _table_parts(spark, sf)
+    return table_accuracy(linked, _fx(spark, sf, "table_gt"))
+
+
+def q_table_coltype(spark, sf):
+    """A7 — per-table coarse-type majority of the target column."""
+    from refined_spark.operators.tables import column_coarse_majority
+
+    _scored, linked = _table_parts(spark, sf)
+    return column_coarse_majority(linked).orderBy("table_id")
+
+
 def q_entity_index(spark, sf):
     from refined_spark.operators.pem_build import build_entity_index
 
@@ -569,6 +618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pem_build": q_pem_build,
         "link_extract": q_link_extract,
         "anchor_pem": q_anchor_pem,
+        "table_link": q_table_link,
+        "table_topk": q_table_topk,
+        "table_accuracy": q_table_accuracy,
+        "table_coltype": q_table_coltype,
         "entity_index": q_entity_index,
         "mention_detect": q_mention_detect,
         "candidates": q_candidates,
@@ -659,6 +712,56 @@ def _anchor_counts_cte() -> str:
           select surface_form_raw, qcode,
                  count(*) as cnt
           from mapped group by 1, 2
+        )
+    """
+
+
+def _table_link_cte() -> str:
+    """DuckDB replay of the S7 table flow: CSV scan (filename -> table
+    id), normalized-surface PEM join, prior + class-overlap score,
+    per-cell argmax. Ends with CTEs `cells`, `scored`, `linked`."""
+    glob = os.path.join(FX_T2, "tables", "*.csv")
+    norm = _NORM_SQL.format(c="c.cell")
+    return f"""
+        cells as (
+          select regexp_extract(filename, '([^/]+)\\.csv$', 1) as table_id,
+                 "row", cell, ctx
+          from read_csv('{glob}', header=false,
+                        columns={{'row': 'INT', 'cell': 'VARCHAR',
+                                  'ctx': 'VARCHAR', 'noise': 'VARCHAR'}},
+                        filename=true)
+        ), w as (
+          select
+            (select weight from read_parquet('{_fxp("ed_weights")}')
+             where feature = 'pem') as w_pem,
+            (select weight from read_parquet('{_fxp("ed_weights")}')
+             where feature = 'class_overlap') as w_cls
+        ), scored as (
+          select c.table_id, c."row", c.cell, c.ctx,
+                 p.qcode, p.prob, p.rank, e.is_human,
+                 w.w_pem * p.prob + w.w_cls *
+                   (case when t.class_idx is not null
+                         and e.class_idx is not null
+                         and list_contains(e.class_idx, t.class_idx)
+                    then 1.0 else 0.0 end) as score
+          from cells c
+          cross join w
+          left join read_parquet('{_fxp("pem")}') p
+            on p.surface_form = {norm}
+          left join read_parquet('{_fxp("entity")}') e
+            on e.qcode = p.qcode
+          left join read_parquet('{_fxp("topic_class")}') t
+            on t.topic = c.ctx
+        ), ranked as (
+          select *, row_number() over (
+            partition by table_id, "row"
+            order by score desc nulls last, rank asc nulls last,
+                     qcode asc nulls last) as _rk
+          from scored
+        ), linked as (
+          select table_id, "row", qcode as pred_qcode,
+                 is_human as pred_is_human
+          from ranked where _rk = 1
         )
     """
 
@@ -1307,6 +1410,76 @@ def oracle_sql() -> dict[str, str]:
             from probs
             qualify rank <= 30
             order by surface_form, rank
+        """,
+        "table_link": f"""
+            with {_table_link_cte()}
+            select table_id, "row", pred_qcode
+            from linked order by table_id, "row"
+        """,
+        "table_topk": f"""
+            with {_table_link_cte()},
+            top as (
+              select table_id, "row", qcode,
+                     row_number() over (partition by table_id, "row"
+                       order by score desc, rank asc, qcode asc)
+                       as cand_rank
+              from scored where qcode is not null
+            )
+            select t.table_id, t."row", cast(t.cand_rank as int)
+                     as cand_rank, t.qcode,
+                   case when l.pred_qcode is not null
+                        then t.qcode = l.pred_qcode
+                        else t.cand_rank = 1 end as match
+            from top t
+            left join linked l
+              on t.table_id = l.table_id and t."row" = l."row"
+            where t.cand_rank <= 3
+            order by t.table_id, t."row", t.cand_rank
+        """,
+        "table_accuracy": f"""
+            with {_table_link_cte()},
+            g as (
+              select gt.table_id, gt."row",
+                     string_split(gt.qid, ' ') as qids,
+                     coalesce(l.pred_qcode, 'NIL') as pred
+              from read_parquet('{_fxp("table_gt")}') gt
+              left join linked l
+                on gt.table_id = l.table_id and gt."row" = l."row"
+            ), agg as (
+              select cast(count(*) as bigint) as total,
+                     cast(sum(case when list_contains(qids, pred)
+                          then 1 else 0 end) as bigint) as tp,
+                     cast(sum(case when not list_contains(qids, pred)
+                          then 1 else 0 end) as bigint) as fn,
+                     cast(sum(case when pred <> 'NIL'
+                          and not list_contains(qids, pred)
+                          then 1 else 0 end) as bigint) as fp
+              from g
+            )
+            select total, tp, fp, fn,
+                   round(tp / (total + 1e-8), 6) as accuracy,
+                   round(tp / (tp + fp + 1e-8), 6) as precision,
+                   round(tp / (tp + fn + 1e-8), 6) as recall,
+                   round(2.0 * (tp / (tp + fp + 1e-8))
+                         * (tp / (tp + fn + 1e-8))
+                         / ((tp / (tp + fp + 1e-8))
+                            + (tp / (tp + fn + 1e-8)) + 1e-8), 6) as f1
+            from agg
+        """,
+        "table_coltype": f"""
+            with {_table_link_cte()},
+            counts as (
+              select table_id,
+                     case when pred_qcode is null then 'UNKNOWN'
+                          when pred_is_human then 'PERSON'
+                          else 'OTHER' end as coarse,
+                     cast(count(*) as bigint) as n
+              from linked group by 1, 2
+            )
+            select table_id, coarse as majority_type, n as n_cells
+            from (select *, row_number() over (partition by table_id
+                    order by n desc, coarse asc) as _rk from counts)
+            where _rk = 1 order by table_id
         """,
         "date_resolve": _date_resolve_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),

@@ -325,6 +325,59 @@ def gen_wiki_pages(out_dir: str, world: dict, n_pages: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# CSV tables + ground truth (S7 / A6 / A7 / A8)
+# --------------------------------------------------------------------------
+
+def gen_csv_tables(out_dir: str, world: dict, n_tables: int) -> None:
+    """Headerless CSV tables (row, cell, ctx, noise) + ground-truth qids
+    parquet — the fork's table-linking input shape (semtab-style: target
+    column 1, context column 2). Cells are entity surfaces with cased /
+    'The '-prefixed variants; some NIL cells; some multi-qid truths."""
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(8899))
+    ents = [e for e in world["uni"]["entities"]
+            if e["description"] is not None]
+    tables_dir = os.path.join(out_dir, "tables")
+    os.makedirs(tables_dir, exist_ok=True)
+    gt_rows = []
+    for t in range(n_tables):
+        tid = f"tbl_{t:04d}"
+        lines = []
+        n_rows = 5 + int(rng.integers(0, 11))
+        for r in range(n_rows):
+            if rng.random() < 0.08:
+                cell = vocab.NIL_SURFACES[int(rng.integers(
+                    len(vocab.NIL_SURFACES)))].replace(",", "")
+                ctx, qid = "", "NIL"
+            else:
+                e = ents[int(rng.integers(len(ents)))]
+                v = rng.random()
+                cell = (e["label"] if v < 0.6
+                        else "The " + e["label"] if v < 0.8
+                        else e["label"].upper())
+                ctx = e["topic"] if rng.random() < 0.85 else ""
+                qid = e["qcode"]
+                # multi-qid truth for ambiguous surfaces (semtab allows
+                # several correct targets)
+                if rng.random() < 0.1:
+                    others = world["pem"].get(
+                        e["label"].lower().replace(".", ""), [])
+                    extra = [q for q, _p in others if q != qid][:1]
+                    if extra:
+                        qid = qid + " " + extra[0]
+            noise = str(int(rng.integers(0, 10000)))
+            lines.append(f"{r},{cell},{ctx},{noise}")
+            gt_rows.append(dict(table_id=tid, row=r, col=1, qid=qid))
+        with open(os.path.join(tables_dir, f"{tid}.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    _write(os.path.join(out_dir, "table_gt.parquet"), gt_rows, pa.schema([
+        ("table_id", pa.string()), ("row", pa.int32()),
+        ("col", pa.int32()), ("qid", pa.string()),
+    ]))
+
+
+# --------------------------------------------------------------------------
 # entry point
 # --------------------------------------------------------------------------
 
@@ -335,3 +388,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_expected_topk(out_dir, world)
     gen_date_spans(out_dir, {"t1": 24}.get(tier, 120))
     gen_wiki_pages(out_dir, world, {"t1": 60}.get(tier, 400))
+    gen_csv_tables(out_dir, world, {"t1": 12}.get(tier, 60))
