@@ -387,6 +387,43 @@ def q_date_resolve(spark, sf):
         "url", "start", "part_idx")
 
 
+def q_span_correct(spark, sf):
+    """E6 — span corrections (newline/quote strips, junk drops, title
+    split), reference general_utils.py:144-211."""
+    from refined_spark.operators.spans import correct_spans
+
+    spans = _fx(spark, sf, "messy_spans").select(
+        "url", "start", "length", "text")
+    return correct_spans(spans).orderBy("url", "start", "text")
+
+
+def q_span_merge(spark, sf):
+    """E7 — overlap-resolving span merge (prioritised wins),
+    general_utils.py:213-238."""
+    from refined_spark.operators.spans import merge_spans
+
+    m = _fx(spark, sf, "messy_spans")
+    return merge_spans(
+        m.where(~F.col("prioritised")), m.where("prioritised"),
+    ).orderBy("url", "start", "from_prioritised", "text")
+
+
+def q_sentence_split(spark, sf):
+    """E3 — offset-preserving sentence segmentation over documents."""
+    from refined_spark.operators.spans import split_sentences
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text")
+    return split_sentences(d).orderBy("url", "sent_idx")
+
+
+def q_bio_decode(spark, sf):
+    """E8 — BIO tag decode to spans (lenient: I after O opens a span)."""
+    from refined_spark.operators.spans import decode_bio
+
+    return decode_bio(_fx(spark, sf, "bio_tags")).orderBy("url", "start")
+
+
 def q_class_closure(spark, sf):
     from refined_spark.operators.closure import class_closure
 
@@ -629,6 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clusters": q_clusters,
         "pairwise_f1": q_pairwise_f1,
         "date_resolve": q_date_resolve,
+        "span_correct": q_span_correct,
+        "span_merge": q_span_merge,
+        "sentence_split": q_sentence_split,
+        "bio_decode": q_bio_decode,
         "topk_links": q_topk_links,
         "class_check": q_class_check,
         "el_metrics": q_el_metrics,
@@ -1482,6 +1523,157 @@ def oracle_sql() -> dict[str, str]:
             where _rk = 1 order by table_id
         """,
         "date_resolve": _date_resolve_oracle_sql(),
+        # E6 span corrections: sequential strip transforms as chained CTEs
+        "span_correct": f"""
+            with s0 as (
+              select url, start, length, text
+              from read_parquet('{_fxp("messy_spans")}')
+              where not (length(text) = 1
+                         or text in (repeat(chr(10), 2), repeat(chr(10), 3),
+                                     repeat(chr(10), 4), 'the'))
+            ), s1 as (
+              select url,
+                start + case when length(text) > 2
+                             and substr(text, 1, 1) = chr(10)
+                        then 1 else 0 end as start,
+                length - case when length(text) > 2
+                              and substr(text, 1, 1) = chr(10)
+                         then 1 else 0 end as length,
+                case when length(text) > 2 and substr(text, 1, 1) = chr(10)
+                     then substr(text, 2) else text end as text
+              from s0
+            ), s2 as (
+              select url,
+                start + case when length(text) > 2
+                             and substr(text, 1, 1) = chr(10)
+                        then 1 else 0 end as start,
+                length - case when length(text) > 2
+                              and substr(text, 1, 1) = chr(10)
+                         then 1 else 0 end as length,
+                case when length(text) > 2 and substr(text, 1, 1) = chr(10)
+                     then substr(text, 2) else text end as text
+              from s1
+            ), s3 as (
+              select url, start,
+                length - case when length(text) > 2
+                              and substr(text, length(text), 1) = chr(10)
+                         then 1 else 0 end as length,
+                case when length(text) > 2
+                     and substr(text, length(text), 1) = chr(10)
+                     then substr(text, 1, length(text) - 1)
+                     else text end as text
+              from s2
+            ), s4 as (
+              select url, start,
+                length - case when length(text) > 2
+                              and substr(text, length(text), 1) = chr(10)
+                         then 1 else 0 end as length,
+                case when length(text) > 2
+                     and substr(text, length(text), 1) = chr(10)
+                     then substr(text, 1, length(text) - 1)
+                     else text end as text
+              from s3
+            ), s5 as (
+              select url,
+                start + case when length(text) > 2
+                             and substr(text, 1, 1) = '"'
+                             and substr(text, length(text), 1) <> '"'
+                        then 1 else 0 end as start,
+                length - case when length(text) > 2
+                              and substr(text, 1, 1) = '"'
+                              and substr(text, length(text), 1) <> '"'
+                         then 1 else 0 end as length,
+                case when length(text) > 2 and substr(text, 1, 1) = '"'
+                     and substr(text, length(text), 1) <> '"'
+                     then substr(text, 2) else text end as text
+              from s4
+            ), s6 as (
+              select url, start,
+                length - case when length(text) > 2
+                              and substr(text, length(text), 1) = '"'
+                              and substr(text, 1, 1) <> '"'
+                         then 1 else 0 end as length,
+                case when length(text) > 2
+                     and substr(text, length(text), 1) = '"'
+                     and substr(text, 1, 1) <> '"'
+                     then substr(text, 1, length(text) - 1)
+                     else text end as text
+              from s5 where text <> 'the'
+            ), marked as (
+              select *,
+                (start = 0 and length(text) > 2
+                 and len(string_split(text, chr(10) || chr(10))) = 2)
+                  as splittable,
+                string_split(text, chr(10) || chr(10)) as parts
+              from s6 where text <> 'the'
+            )
+            select url, cast(start as int) as start,
+                   cast(length as int) as length, text
+            from marked where not splittable
+            union all
+            select url, 0, cast(length(parts[1]) as int), parts[1]
+            from marked where splittable
+            union all
+            select url,
+                   cast(strpos(text, chr(10) || chr(10)) + 1 as int),
+                   cast(length(parts[2]) as int), parts[2]
+            from marked where splittable
+            order by url, start, text
+        """,
+        "span_merge": f"""
+            with m as (select * from read_parquet('{_fxp("messy_spans")}'))
+            select url, start, length, text, true as from_prioritised
+            from m where prioritised
+            union all
+            select a.url, a.start, a.length, a.text, false
+            from m a
+            where not a.prioritised and not exists (
+              select 1 from m p
+              where p.prioritised and p.url = a.url
+                and a.start < p.start + p.length
+                and p.start < a.start + a.length)
+            order by url, start, from_prioritised, text
+        """,
+        "sentence_split": """
+            with d as (
+              select cast(doc_id as varchar) as url,
+                     regexp_extract_all(text, '[^.!?]+[.!?]*\\s*', 0) as cs
+              from documents
+            ), e as (
+              select url, cast(i - 1 as int) as sent_idx, cs[i] as chunk,
+                     cast(coalesce(sum(length(cs[i])) over (
+                       partition by url order by i
+                       rows between unbounded preceding and 1 preceding),
+                       0) as int) as sent_start
+              from d, unnest(generate_series(1, len(cs))) as t(i)
+            )
+            select url, sent_idx, sent_start, trim(chunk) as sentence
+            from e where length(trim(chunk)) > 0
+            order by url, sent_idx
+        """,
+        "bio_decode": f"""
+            with t as (
+              select *, lag(tag, 1, 'O') over (partition by url
+                        order by tok_idx) as prev
+              from read_parquet('{_fxp("bio_tags")}')
+            ), s as (
+              select *, sum(case when tag = 'B'
+                                 or (tag = 'I' and prev = 'O')
+                            then 1 else 0 end) over (
+                          partition by url order by tok_idx
+                          rows unbounded preceding) as seg_id
+              from t
+            )
+            select url, min(start) as start,
+                   cast(max(start + length(token)) - min(start) as int)
+                     as length,
+                   string_agg(token, ' ' order by tok_idx)
+                     as mention_text,
+                   cast(count(*) as int) as n_tokens
+            from s where tag <> 'O'
+            group by url, seg_id
+            order by url, start
+        """,
         "ann_lsh": _ann_lsh_oracle_sql(),
         # A9 with pair edges: DuckDB recomputes the transitive clusters
         # independently — anchor contraction (mention -> entity if linked),

@@ -378,6 +378,99 @@ def gen_csv_tables(out_dir: str, world: dict, n_tables: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# messy spans (E6/E7) + BIO token tags (E8)
+# --------------------------------------------------------------------------
+
+def gen_messy_spans(out_dir: str, world: dict, n_urls: int) -> None:
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(5511))
+    labels = [e["label"] for e in world["uni"]["entities"]]
+    rows = []
+    for u in range(n_urls):
+        url = f"https://example.org/messy/{u:05d}"
+        pos = 0
+        # one document-leading title-split case per third url
+        if u % 3 == 0:
+            t = (labels[int(rng.integers(len(labels)))] + "\n\n"
+                 + labels[int(rng.integers(len(labels)))])
+            rows.append(dict(url=url, start=0, length=len(t), text=t,
+                             prioritised=False))
+            pos = len(t) + 2
+        n = 4 + int(rng.integers(0, 6))
+        for _j in range(n):
+            base = labels[int(rng.integers(len(labels)))]
+            v = rng.random()
+            if v < 0.12:
+                t = "\n" * int(rng.integers(1, 3)) + base
+            elif v < 0.24:
+                t = base + "\n" * int(rng.integers(1, 3))
+            elif v < 0.32:
+                t = '"' + base            # unbalanced lead quote
+            elif v < 0.40:
+                t = base + '"'            # unbalanced trail quote
+            elif v < 0.46:
+                t = '"' + base + '"'      # balanced -> untouched
+            elif v < 0.52:
+                t = "the"
+            elif v < 0.56:
+                t = base[0]               # 1-char drop
+            elif v < 0.60:
+                t = "\n\n"
+            else:
+                t = base
+            prio = rng.random() < 0.3
+            start = pos + int(rng.integers(0, 8))
+            rows.append(dict(url=url, start=start, length=len(t), text=t,
+                             prioritised=prio))
+            # occasionally an overlapping additional span (merge drops it)
+            if rng.random() < 0.25:
+                rows.append(dict(url=url, start=start + 1,
+                                 length=len(base), text=base,
+                                 prioritised=not prio and rng.random() < 0.5))
+            pos = start + len(t) + 1
+    _write(os.path.join(out_dir, "messy_spans.parquet"), rows, pa.schema([
+        ("url", pa.string()), ("start", pa.int32()),
+        ("length", pa.int32()), ("text", pa.string()),
+        ("prioritised", pa.bool_()),
+    ]))
+
+
+def gen_bio_tags(out_dir: str, world: dict, n_urls: int) -> None:
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(6611))
+    labels = [e["label"] for e in world["uni"]["entities"]]
+    rows = []
+    for u in range(n_urls):
+        url = f"https://example.org/bio/{u:05d}"
+        pos, idx = 0, 0
+
+        def emit(token, tag):
+            nonlocal pos, idx
+            rows.append(dict(url=url, tok_idx=idx, token=token,
+                             start=pos, tag=tag))
+            pos += len(token) + 1
+            idx += 1
+
+        n_ev = 3 + int(rng.integers(0, 5))
+        for _j in range(n_ev):
+            for _k in range(1 + int(rng.integers(0, 4))):
+                emit(_FILLER[int(rng.integers(len(_FILLER)))], "O")
+            toks = labels[int(rng.integers(len(labels)))].split(" ")
+            orphan = rng.random() < 0.15   # lenient-decode case: I w/o B
+            for ti, tok in enumerate(toks):
+                emit(tok, "I" if (orphan and ti == 0) else
+                     ("B" if ti == 0 else "I"))
+        emit(_FILLER[int(rng.integers(len(_FILLER)))], "O")
+    _write(os.path.join(out_dir, "bio_tags.parquet"), rows, pa.schema([
+        ("url", pa.string()), ("tok_idx", pa.int32()),
+        ("token", pa.string()), ("start", pa.int32()),
+        ("tag", pa.string()),
+    ]))
+
+
+# --------------------------------------------------------------------------
 # entry point
 # --------------------------------------------------------------------------
 
@@ -389,3 +482,5 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_date_spans(out_dir, {"t1": 24}.get(tier, 120))
     gen_wiki_pages(out_dir, world, {"t1": 60}.get(tier, 400))
     gen_csv_tables(out_dir, world, {"t1": 12}.get(tier, 60))
+    gen_messy_spans(out_dir, world, {"t1": 30}.get(tier, 150))
+    gen_bio_tags(out_dir, world, {"t1": 30}.get(tier, 150))

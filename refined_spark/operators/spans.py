@@ -1,0 +1,174 @@
+"""E3/E6/E7/E8 — span hygiene operators.
+
+- correct_spans: the reference's span corrections
+  (/root/reference/src/refined/utilities/general_utils.py:144-211):
+  drop 1-char / newline-only / "the" spans; strip up to two leading and
+  trailing newlines and unbalanced quotes (adjusting start/length); drop
+  "the" after stripping; split a document-leading span containing one
+  paragraph break into title + first-mention spans. (The reference
+  mutates the list while iterating — this implements the intended rule
+  set declaratively.)
+- merge_spans (general_utils.py:213-238): combine additional (predicted)
+  spans with prioritised (provided) spans, dropping any additional span
+  that overlaps a prioritised one.
+- split_sentences: offset-preserving sentence segmentation (E3) via a
+  shared RE2-compatible chunk regex; offsets computed in-row (aggregate
+  HOF — no shuffle).
+- decode_bio (E8): token BIO tags -> spans, lenient decode (an I after O
+  opens a new span), pure window/groupBy relational work.
+
+All four are Column/window compositions — no UDFs; at corpus scale they
+fuse into the scan (corrections, sentences) or cost one url-partitioned
+window (BIO, merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SENT_RE = r"[^.!?]+[.!?]*\s*"
+
+
+def correct_spans(spans: DataFrame) -> DataFrame:
+    """spans: (url, start, length, text) -> corrected spans (same shape).
+    """
+    df = spans
+    # initial drops on the ORIGINAL text
+    df = df.where(~(
+        (F.length("text") == 1)
+        | F.col("text").isin("\n\n", "\n\n\n", "\n\n\n\n", "the")
+    ))
+
+    # unrolled strips (reference checks each rule twice for newlines)
+    def strip_lead(df):
+        cond = (F.length("text") > 2) & (F.substring("text", 1, 1) == "\n")
+        return df.withColumn(
+            "start", F.when(cond, F.col("start") + 1).otherwise(F.col("start"))
+        ).withColumn(
+            "length", F.when(cond, F.col("length") - 1).otherwise(F.col("length"))
+        ).withColumn(
+            "text", F.when(cond, F.expr("substring(text, 2)"))
+            .otherwise(F.col("text")))
+
+    def strip_trail(df):
+        cond = ((F.length("text") > 2)
+                & (F.substring("text", -1, 1) == "\n"))
+        return df.withColumn(
+            "length", F.when(cond, F.col("length") - 1).otherwise(F.col("length"))
+        ).withColumn(
+            "text", F.when(cond, F.expr("substring(text, 1, length(text)-1)"))
+            .otherwise(F.col("text")))
+
+    df = strip_lead(strip_lead(df))
+    df = strip_trail(strip_trail(df))
+
+    lead_q = ((F.length("text") > 2) & (F.substring("text", 1, 1) == '"')
+              & (F.substring("text", -1, 1) != '"'))
+    df = (df.withColumn("start", F.when(lead_q, F.col("start") + 1)
+                        .otherwise(F.col("start")))
+          .withColumn("length", F.when(lead_q, F.col("length") - 1)
+                      .otherwise(F.col("length")))
+          .withColumn("text", F.when(lead_q, F.expr("substring(text, 2)"))
+                      .otherwise(F.col("text"))))
+    trail_q = ((F.length("text") > 2) & (F.substring("text", -1, 1) == '"')
+               & (F.substring("text", 1, 1) != '"'))
+    df = (df.withColumn("length", F.when(trail_q, F.col("length") - 1)
+                        .otherwise(F.col("length")))
+          .withColumn("text",
+                      F.when(trail_q,
+                             F.expr("substring(text, 1, length(text)-1)"))
+                      .otherwise(F.col("text"))))
+
+    df = df.where(F.col("text") != "the")
+
+    # title/first-mention split: document-leading span with exactly one
+    # paragraph break becomes two MENTION spans
+    pieces = F.split("text", "\n\n")
+    splittable = ((F.col("start") == 0) & (F.size(pieces) == 2)
+                  & (F.length("text") > 2))
+    parts = F.when(splittable, F.array(
+        F.struct(F.lit(0).alias("p_start"),
+                 F.element_at(pieces, 1).alias("p_text")),
+        F.struct((F.locate("\n\n", F.col("text")) + 1).alias("p_start"),
+                 F.element_at(pieces, 2).alias("p_text")),
+    )).otherwise(F.array(F.struct(F.col("start").alias("p_start"),
+                                  F.col("text").alias("p_text"))))
+    return (
+        df.select("url", F.explode(parts).alias("p"))
+        .select("url",
+                F.col("p.p_start").cast("int").alias("start"),
+                F.length("p.p_text").cast("int").alias("length"),
+                F.col("p.p_text").alias("text"))
+    )
+
+
+def merge_spans(additional: DataFrame, prioritised: DataFrame) -> DataFrame:
+    """E7 — union with prioritised overlap resolution: an additional span
+    survives only if it overlaps NO prioritised span of the same url.
+    Anti range-join on url (co-partitioned with the span shuffle)."""
+    p = prioritised.select(F.col("url").alias("p_url"),
+                           F.col("start").alias("p_start"),
+                           F.col("length").alias("p_length"))
+    overlap = ((F.col("url") == F.col("p_url"))
+               & (F.col("start") < F.col("p_start") + F.col("p_length"))
+               & (F.col("p_start") < F.col("start") + F.col("length")))
+    kept = additional.join(p, overlap, "left_anti")
+    return (prioritised.select("url", "start", "length", "text")
+            .withColumn("from_prioritised", F.lit(True))
+            .unionByName(kept.select("url", "start", "length", "text")
+                         .withColumn("from_prioritised", F.lit(False))))
+
+
+def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """E3 — (url, text) -> (url, sent_idx, sent_start, sentence).
+    Chunk regex keeps terminators + trailing whitespace so offsets are a
+    prefix-sum (computed in-row, zero shuffle); emitted sentences are
+    trimmed, empty chunks dropped."""
+    chunks = F.expr(f"regexp_extract_all({text_col}, '{SENT_RE}', 0)")
+    d = docs.select("url", chunks.alias("chunks"))
+    offs = F.expr("""
+        aggregate(chunks, struct(cast(array() as array<int>) as offs,
+                                 0 as pos),
+          (acc, c) -> struct(acc.offs || array(acc.pos),
+                             acc.pos + length(c)),
+          acc -> acc.offs)
+    """)
+    z = d.select("url", F.posexplode(F.arrays_zip(
+        F.col("chunks").alias("chunk"), offs.alias("off"))).alias("i", "e"))
+    sent = F.trim(F.col("e.chunk"))
+    return (
+        z.where(F.length(sent) > 0)
+        .select("url", F.col("i").cast("int").alias("sent_idx"),
+                F.col("e.off").cast("int").alias("sent_start"),
+                sent.alias("sentence"))
+    )
+
+
+def decode_bio(tokens: DataFrame) -> DataFrame:
+    """E8 — (url, tok_idx, token, start, tag B|I|O) -> decoded spans
+    (url, start, length, mention_text, n_tokens). Lenient: I with no open
+    span starts one. seg id = running count of span-opens; one window +
+    one groupBy, both partitioned by url."""
+    w = Window.partitionBy("url").orderBy("tok_idx")
+    prev = F.lag("tag", 1, "O").over(w)
+    opens = ((F.col("tag") == "B")
+             | ((F.col("tag") == "I") & (prev == "O"))).cast("int")
+    seg = tokens.withColumn("seg_id", F.sum(opens).over(w))
+    return (
+        seg.where(F.col("tag") != "O")
+        .groupBy("url", "seg_id")
+        .agg(
+            F.min("start").alias("start"),
+            (F.max(F.col("start") + F.length("token"))
+             - F.min("start")).cast("int").alias("length"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("tok_idx", "token"))),
+                    lambda s: s["token"]), " ").alias("mention_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+        .select("url", "start", "length", "mention_text", "n_tokens")
+    )
