@@ -1525,13 +1525,13 @@ def oracle_sql() -> dict[str, str]:
         "date_resolve": _date_resolve_oracle_sql(),
         # E6 span corrections: sequential strip transforms as chained CTEs
         "span_correct": f"""
-            with s0 as (
+            with s0 as materialized (
               select url, start, length, text
               from read_parquet('{_fxp("messy_spans")}')
               where not (length(text) = 1
                          or text in (repeat(chr(10), 2), repeat(chr(10), 3),
                                      repeat(chr(10), 4), 'the'))
-            ), s1 as (
+            ), s1 as materialized (
               select url,
                 start + case when length(text) > 2
                              and substr(text, 1, 1) = chr(10)
@@ -1542,7 +1542,7 @@ def oracle_sql() -> dict[str, str]:
                 case when length(text) > 2 and substr(text, 1, 1) = chr(10)
                      then substr(text, 2) else text end as text
               from s0
-            ), s2 as (
+            ), s2 as materialized (
               select url,
                 start + case when length(text) > 2
                              and substr(text, 1, 1) = chr(10)
@@ -1553,7 +1553,7 @@ def oracle_sql() -> dict[str, str]:
                 case when length(text) > 2 and substr(text, 1, 1) = chr(10)
                      then substr(text, 2) else text end as text
               from s1
-            ), s3 as (
+            ), s3 as materialized (
               select url, start,
                 length - case when length(text) > 2
                               and substr(text, length(text), 1) = chr(10)
@@ -1563,7 +1563,7 @@ def oracle_sql() -> dict[str, str]:
                      then substr(text, 1, length(text) - 1)
                      else text end as text
               from s2
-            ), s4 as (
+            ), s4 as materialized (
               select url, start,
                 length - case when length(text) > 2
                               and substr(text, length(text), 1) = chr(10)
@@ -1573,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
                      then substr(text, 1, length(text) - 1)
                      else text end as text
               from s3
-            ), s5 as (
+            ), s5 as materialized (
               select url,
                 start + case when length(text) > 2
                              and substr(text, 1, 1) = '"'
@@ -1587,7 +1587,7 @@ def oracle_sql() -> dict[str, str]:
                      and substr(text, length(text), 1) <> '"'
                      then substr(text, 2) else text end as text
               from s4
-            ), s6 as (
+            ), s6 as materialized (
               select url, start,
                 length - case when length(text) > 2
                               and substr(text, length(text), 1) = '"'
@@ -1599,7 +1599,7 @@ def oracle_sql() -> dict[str, str]:
                      then substr(text, 1, length(text) - 1)
                      else text end as text
               from s5 where text <> 'the'
-            ), marked as (
+            ), marked as materialized (
               select *,
                 (start = 0 and length(text) > 2
                  and len(string_split(text, chr(10) || chr(10))) = 2)
@@ -1750,7 +1750,7 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                  w -> w != '') as ws
               from documents
-            ), s0 as (
+            ), s0 as materialized (
               select doc_id as id,
                      {_simhash_half_sql(1)} as sim_hi,
                      {_simhash_half_sql(9)} as sim_lo

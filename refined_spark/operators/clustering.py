@@ -85,7 +85,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-            F.expr("sum(xxhash64(u, v))").alias("s"),
+            # decimal accumulator: sum of 10^12 64-bit values stays well
+            # inside decimal(38,0); a bigint sum overflows under ANSI mode
+            F.expr("sum(cast(xxhash64(u, v) as decimal(38, 0)))").alias("s"),
         ).collect()[0]
         sig = (sig["n"], sig["h"], sig["s"])
         if sig == prev_sig:
