@@ -40,6 +40,14 @@ def _pipeline(spark: SparkSession, sf_dir: str):
         for name in ("mentions", "candidates", "links", "clusters"):
             res[name] = res[name].cache()
         _PIPELINE_CACHE[key] = res
+        # evict superseded results so cached blocks don't accumulate
+        # across fixture tiers in one session
+        while len(_PIPELINE_CACHE) > 2:
+            _old_key = next(iter(_PIPELINE_CACHE))
+            old = _PIPELINE_CACHE.pop(_old_key)
+            for name in ("mentions", "candidates", "links", "clusters"):
+                old[name].unpersist()
+            old["unpersist"]()
     return _PIPELINE_CACHE[key]
 
 

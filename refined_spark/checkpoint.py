@@ -130,7 +130,7 @@ def run_pipeline_checkpointed(
     from .operators.extract import extracted_text_col, with_extracted_text
     from .operators.mentions import detect_mention_rows, mentions_from_spans
     from .operators.scoring import links_from_logits, with_candidate_logits
-    from .pipeline import load_tables, load_weights, match_dictionary
+    from .pipeline import load_tables, load_weights, write_match_dictionary
 
     t = load_tables(spark, fixture_dir)
     runner = CheckpointRunner(
@@ -143,8 +143,11 @@ def run_pipeline_checkpointed(
             return mentions_from_spans(docs, t["gold_spans"])
         docs = t["documents"].withColumn(
             "text", extracted_text_col("html"))
-        return detect_mention_rows(
-            spark, docs, match_dictionary(t["pem"], t["entity"]))
+        # dictionary artifact lives in the run_dir (shared storage on a
+        # cluster) and is loaded lazily by each worker — no driver collect
+        dict_path = write_match_dictionary(
+            t["pem"], t["entity"], os.path.join(run_dir, "match_dict"))
+        return detect_mention_rows(spark, docs, dict_path=dict_path)
 
     mentions = runner.stage("mentions", build_mentions)
     # checkpointed candidates = the ARRAY frame (one row per mention with

@@ -138,6 +138,46 @@ def extracted_text_col(html_col):
     return F.replace(s, F.lit(nul), F.lit("\n"))
 
 
+def extraction_mismatches(documents: DataFrame, mod: int = 256) -> DataFrame:
+    """Sampled runtime cross-check of the JVM extractor against the
+    Python parser spec: a deterministic xxhash64(url) % mod == 0 sample
+    runs BOTH paths and returns the mismatching urls.
+
+    Why: the JVM chain equals the parser only on the corpus HTML contract
+    (no bare '&nbsp;'-class named refs, no '>' inside attribute values,
+    valid UTF-8). On a real crawl a contract violation would silently
+    shift every downstream span offset — this check makes it fail loudly
+    for ~1/mod of the scan cost. Production jobs (tools/run_job.py) run
+    it as a guard action; golden pytest covers the full fixture corpus.
+    """
+    sample = documents.where(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
+    both = sample.select("url", "html",
+                         extracted_text_col("html").alias("jvm_text"))
+
+    def check(batches):
+        for pdf in batches:
+            bad = [u for u, h, j in zip(pdf["url"], pdf["html"],
+                                        pdf["jvm_text"])
+                   if extract_text(h) != j]
+            yield pd.DataFrame({"url": bad})
+
+    return both.mapInPandas(check, "url string")
+
+
+def assert_extraction_contract(documents: DataFrame,
+                               mod: int = 256) -> int:
+    """Raise if the sampled JVM-vs-parser cross-check finds mismatches;
+    returns the number of sampled documents checked (0 mismatches)."""
+    mism = extraction_mismatches(documents, mod=mod)
+    bad = [r["url"] for r in mism.limit(5).collect()]
+    if bad:
+        raise AssertionError(
+            f"JVM extractor diverged from parser spec on sampled urls "
+            f"{bad} — corpus violates the extraction HTML contract")
+    return int(documents.where(
+        F.pmod(F.xxhash64("url"), F.lit(mod)) == 0).count())
+
+
 def with_extracted_text(documents: DataFrame, out_col: str = "extracted",
                         jvm: bool = True) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> + extracted STRING.

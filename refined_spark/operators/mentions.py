@@ -109,6 +109,29 @@ def _match_doc(text: str, match_dict: set[str], first_words: set[str],
 # per-python-worker token-normalization memo (survives across batches)
 _TOKEN_NORM_CACHE: dict[str, str] = {}
 
+# per-python-worker match-dictionary cache keyed by artifact path: the key
+# set is built EXECUTOR-SIDE from the parquet artifact the dictionary job
+# wrote — the driver never materializes (or pickles) the 18M-key set. Same
+# deployment shape as the reference's per-process LMDB file
+# (lmdb_wrapper.py:43-55): a file artifact opened lazily by each worker.
+_DICT_CACHE: dict[str, tuple[set, set]] = {}
+
+
+def load_match_dictionary(path: str) -> tuple[set, set]:
+    """(keys, first_words) from a dictionary parquet artifact — executor-
+    side, cached per worker process."""
+    v = _DICT_CACHE.get(path)
+    if v is None:
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(path, columns=["key"])["key"].to_pylist()
+        keys = {k for k in col if k}
+        first_words = {k.split(" ", 1)[0] for k in keys}
+        v = (keys, first_words)
+        if len(_DICT_CACHE) < 4:
+            _DICT_CACHE[path] = v
+    return v
+
 
 def make_detect_udf(spark, match_keys: list[str]):
     """Broadcast the dictionary once; return an Arrow-batched matcher UDF."""
@@ -193,13 +216,20 @@ _MENTION_SCHEMA = StructType([
 ])
 
 
-def _mention_rows_runner(bc, from_html: bool):
-    """Shared mapInPandas body: (url, html|text) batches -> mention rows."""
+def _mention_rows_runner(dict_src, from_html: bool):
+    """Shared mapInPandas body: (url, html|text) batches -> mention rows.
+
+    dict_src: ("bc", broadcast) for a driver-broadcast key set (fixture
+    scale) or ("path", parquet_path) for the executor-side artifact load
+    (production scale — zero driver materialization)."""
     from ..functions.normalize import normalize_surface_form
     from .extract import extract_text
 
     def run(batches):
-        d, fw = bc.value
+        if dict_src[0] == "bc":
+            d, fw = dict_src[1].value
+        else:
+            d, fw = load_match_dictionary(dict_src[1])
         tok_cache = _TOKEN_NORM_CACHE
         phrase_cache: dict[str, str] = {}
         for pdf in batches:
@@ -232,23 +262,36 @@ def _mention_rows_runner(bc, from_html: bool):
     return run
 
 
+def _dict_src(spark, match_keys, dict_path):
+    if dict_path is not None:
+        return ("path", dict_path)
+    keys = {k for k in match_keys if k}
+    first_words = {k.split(" ", 1)[0] for k in keys}
+    return ("bc", spark.sparkContext.broadcast((keys, first_words)))
+
+
 def detect_mention_rows(spark, documents: DataFrame,
-                        match_keys: list[str],
-                        text_col: str = "text") -> DataFrame:
+                        match_keys: list[str] | None = None,
+                        text_col: str = "text",
+                        dict_path: str | None = None) -> DataFrame:
     """One-Arrow-crossing mention detection over an existing text column
     (e.g. the JVM extraction output): text in, mention rows out. Same
     output as :func:`fused_extract_detect`; use when extraction already
-    ran JVM-side so only the dictionary matcher needs Python."""
-    keys = {k for k in match_keys if k}
-    first_words = {k.split(" ", 1)[0] for k in keys}
-    bc = spark.sparkContext.broadcast((keys, first_words))
-    run = _mention_rows_runner(bc, from_html=False)
+    ran JVM-side so only the dictionary matcher needs Python.
+
+    Pass ``dict_path`` (a parquet artifact written by
+    ``pipeline.write_match_dictionary``) to load the key set executor-side
+    — the production path; ``match_keys`` broadcasts from the driver and
+    is for fixture-scale runs/tests only."""
+    run = _mention_rows_runner(_dict_src(spark, match_keys, dict_path),
+                               from_html=False)
     return (documents.select("url", F.col(text_col).alias("text"))
             .mapInPandas(run, _MENTION_SCHEMA))
 
 
 def fused_extract_detect(spark, documents: DataFrame,
-                         match_keys: list[str]) -> DataFrame:
+                         match_keys: list[str] | None = None,
+                         dict_path: str | None = None) -> DataFrame:
     """E2e fast path: html -> text -> spans -> normalized mention rows in
     ONE Arrow crossing (`mapInPandas`), byte-equal to the composed
     extract -> detect -> attach_context -> normalize pipeline (pinned by
@@ -262,8 +305,6 @@ def fused_extract_detect(spark, documents: DataFrame,
     corpus is never shuffled at all (scan partitions feed the UDF
     directly; downstream stages shuffle the small mention rows by url).
     """
-    keys = {k for k in match_keys if k}
-    first_words = {k.split(" ", 1)[0] for k in keys}
-    bc = spark.sparkContext.broadcast((keys, first_words))
-    run = _mention_rows_runner(bc, from_html=True)
+    run = _mention_rows_runner(_dict_src(spark, match_keys, dict_path),
+                               from_html=True)
     return documents.select("url", "html").mapInPandas(run, _MENTION_SCHEMA)

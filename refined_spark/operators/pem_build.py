@@ -63,9 +63,35 @@ def build_pem(link_counts: DataFrame,
 
 
 def build_entity_index(pem: DataFrame) -> DataFrame:
-    """A2: distinct qcodes → dense 1-based surrogate (0 reserved for pad)."""
-    w = Window.orderBy("qcode")
+    """A2: distinct qcodes → dense 1-based surrogate (0 reserved for pad).
+
+    Two-pass dense ranking (the classic zipWithIndex shape) instead of a
+    global no-partition window — a ``Window.orderBy`` with no partition
+    key funnels all 33M reference-scale qcodes through ONE task:
+
+      1. range-partition the distinct qcodes (partitions are ordered,
+         contiguous qcode ranges),
+      2. count rows per partition (a #partitions-sized aggregate),
+      3. cumulative offsets via a window over the TINY counts frame,
+      4. local row_number within each partition + broadcast offset join.
+
+    The ranged frame is persisted so both passes see identical partition
+    boundaries (range sampling re-draws on recompute).
+    """
+    distinct = pem.select("qcode").distinct()
+    ranged = (distinct.repartitionByRange("qcode")
+              .withColumn("pid", F.spark_partition_id())
+              .persist())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("off"))
+    w_local = Window.partitionBy("pid").orderBy("qcode")
     return (
-        pem.select("qcode").distinct()
-        .withColumn("qcode_idx", F.row_number().over(w).cast("long"))
+        ranged.withColumn("local_rk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select("qcode",
+                (F.col("off") + F.col("local_rk")).cast("long")
+                .alias("qcode_idx"))
     )

@@ -256,10 +256,16 @@ def observed_pairs_from_mentions(mentions: DataFrame,
     """The (ctx_word, qcode) feature domain WITHOUT touching the candidate
     frame: distinct (norm_sf, ctx_word) mention pairs (Zipf-deduped,
     narrow shuffle) x the broadcast alias arrays cover every direct
-    candidate; coref candidates are covered by (single-word-mention ctx)
-    x (capped human candidates of multi-word surfaces) — a small
-    overapproximation limited to human entities. Extra map entries are
-    never looked up, so they are harmless."""
+    candidate. Coref candidates are covered by the SAME-DOC product of
+    (ctx of single-word mentions) x (strong human candidates of the doc's
+    actually-REGISTERING multi-word mentions) — an equi-join on url, so
+    the domain is bounded by real co-occurrence, not by (all ctx words)
+    x (all human entities of all alias surfaces) as a global cross join
+    would be (round-1 review: that product is executor-OOM territory at
+    18M surfaces). Extra map entries are never looked up, so the within-
+    doc overapproximation (word-match and order ignored) is harmless;
+    coverage of every real candidate is what matters, and the NumPy
+    cross-check (tests/test_pipeline_parity.py) pins it."""
     minp = config.PERSON_COREF_PEM_MIN
     surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
     direct_pairs = (
@@ -268,16 +274,20 @@ def observed_pairs_from_mentions(mentions: DataFrame,
         .select("ctx_word", F.explode("pem_arr").alias("c"))
         .select("ctx_word", F.col("c.qcode").alias("qcode"))
     )
-    human_q = (
-        pem_arrays.where(F.col("surface_form").contains(" "))
-        .select(F.explode(F.expr(
+    registering = (
+        mentions.where(F.col("norm_sf").contains(" "))
+        .select("url", "norm_sf").distinct()
+        .join(F.broadcast(pem_arrays),
+              F.col("norm_sf") == pem_arrays.surface_form)
+        .select("url", F.explode(F.expr(
             f"filter(pem_arr, c -> c.is_human AND c.prob > {minp})"))
             .alias("c"))
-        .select(F.col("c.qcode").alias("qcode")).distinct()
+        .select("url", F.col("c.qcode").alias("qcode")).distinct()
     )
     recv_ctx = (mentions.where(~F.col("norm_sf").contains(" "))
-                .select("ctx_word").distinct())
-    coref_pairs = recv_ctx.crossJoin(F.broadcast(human_q))
+                .select("url", "ctx_word").distinct())
+    coref_pairs = recv_ctx.join(registering, "url").select(
+        "ctx_word", "qcode")
     return direct_pairs.unionByName(coref_pairs).distinct()
 
 

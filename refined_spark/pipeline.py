@@ -66,9 +66,10 @@ def load_weights(ed_weights: DataFrame) -> dict[str, float]:
     return {r["feature"]: r["weight"] for r in ed_weights.collect()}
 
 
-def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
-    """Matcher keys: pem surfaces + words of multi-word human surfaces
-    (the global analog of the coref registration trigger)."""
+def match_dictionary_df(pem: DataFrame, entity: DataFrame) -> DataFrame:
+    """Matcher keys AS A DATAFRAME (one ``key`` column): pem surfaces +
+    words of multi-word human surfaces (the global analog of the coref
+    registration trigger). Never touches the driver."""
     human_sfs = (
         pem.join(entity.select("qcode", "is_human"), "qcode")
         .where(F.col("is_human")
@@ -78,11 +79,40 @@ def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
         .distinct()
     )
     words = human_sfs.select(
-        F.explode(F.split("surface_form", " ")).alias("w")).distinct()
-    keys = [r["surface_form"] for r in
-            pem.select("surface_form").distinct().collect()]
-    keys += [r["w"] for r in words.collect()]
-    return keys
+        F.explode(F.split("surface_form", " ")).alias("key"))
+    return (pem.select(F.col("surface_form").alias("key"))
+            .unionByName(words).distinct())
+
+
+def write_match_dictionary(pem: DataFrame, entity: DataFrame,
+                           path: str, reuse: bool = True) -> str:
+    """Materialize the matcher dictionary as a parquet artifact the
+    workers open lazily (mentions.load_match_dictionary) — the driver
+    never collects or pickles the key set (at reference scale that is 18M
+    keys). `reuse=True` skips the write when a committed artifact exists
+    (the dictionary is a pure function of the pem/entity fixtures).
+    On a cluster `path` lives on shared/object storage — the same
+    deployment shape as shipping the reference's LMDB file to workers."""
+    if reuse and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    match_dictionary_df(pem, entity).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+    return path
+
+
+def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
+    """Driver-side key list — FIXTURE/TEST SCALE ONLY (collects the alias
+    table); the production path is :func:`write_match_dictionary` +
+    ``dict_path``."""
+    return [r["key"] for r in match_dictionary_df(pem, entity).collect()]
+
+
+def _default_dict_dir(fixture_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    h = hashlib.sha256(os.path.abspath(fixture_dir).encode()).hexdigest()
+    return os.path.join(tempfile.gettempdir(), "refined_spark_dicts", h[:16])
 
 
 def run_pipeline(
@@ -91,11 +121,15 @@ def run_pipeline(
     mode: str = "spans",
     broadcast_pem: bool = True,
     broadcast_emb: bool = True,
+    dict_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
     mode='spans': provided-spans (the F1-gated configuration, reference
-    process_text(spans=...) semantics). mode='e2e': dictionary MD.
+    process_text(spans=...) semantics). mode='e2e': dictionary MD (the
+    match dictionary is materialized as a parquet artifact and loaded
+    executor-side — no driver collect; pass ``dict_dir`` to place it on
+    shared storage in a cluster deployment).
     """
     t = load_tables(spark, fixture_dir)
 
@@ -112,8 +146,9 @@ def run_pipeline(
         # rows out
         docs = t["documents"].withColumn(
             "text", extracted_text_col("html"))
-        mentions = detect_mention_rows(
-            spark, docs, match_dictionary(t["pem"], t["entity"]))
+        dict_path = write_match_dictionary(
+            t["pem"], t["entity"], dict_dir or _default_dict_dir(fixture_dir))
+        mentions = detect_mention_rows(spark, docs, dict_path=dict_path)
 
     # The mentions subtree (html parse + dictionary match — the most
     # expensive map stage) is referenced by candidates, scoring AND links;
@@ -143,6 +178,14 @@ def run_pipeline(
     scored = explode_scored_arrays(with_logits)
     links = links_from_logits(with_logits).persist()
     clusters = cluster_mentions(links)
+
+    def unpersist() -> None:
+        """Release the two persisted frames — callers that run multiple
+        pipelines per session (entry harness, tests) should invoke this
+        when a result set is superseded, or cached blocks accumulate."""
+        mentions.unpersist()
+        links.unpersist()
+
     return dict(mentions=mentions, candidates=candidates, scored=scored,
                 links=links, clusters=clusters, cand_arr=cand_arr,
-                with_logits=with_logits, tables=t)
+                with_logits=with_logits, tables=t, unpersist=unpersist)

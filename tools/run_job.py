@@ -22,8 +22,14 @@ from pyspark.sql import SparkSession
 def main(corpus_dir: str, run_dir: str) -> None:
     spark = SparkSession.builder.appName("refined_spark_job").getOrCreate()
     from refined_spark.checkpoint import run_pipeline_checkpointed
+    from refined_spark.operators.extract import assert_extraction_contract
 
     t0 = time.time()
+    # guard: sampled JVM-extractor vs parser-spec cross-check — a corpus
+    # violating the extraction HTML contract fails loudly here instead of
+    # silently shifting span offsets downstream
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    n_checked = assert_extraction_contract(docs, mod=64)
     res = run_pipeline_checkpointed(spark, corpus_dir, run_dir, mode="spans")
     n_docs = res["tables"]["documents"].count()
     n_clusters = res["clusters"].select("cluster_id").distinct().count()
@@ -33,6 +39,7 @@ def main(corpus_dir: str, run_dir: str) -> None:
         n_clusters=n_clusters,
         wall_sec=round(dt, 2),
         docs_per_sec=round(n_docs / dt, 1),
+        extraction_contract_sampled=n_checked,
         stages_run=res["runner"].stages_run,
         stages_resumed=res["runner"].stages_resumed,
     )))
