@@ -69,7 +69,21 @@ def run_headline_queries() -> dict[str, float]:
 
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+CONTROL_ROWS = int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS",
+                                  "1500000000"))
+
+
+def run_control(master: str, parts: int) -> dict:
+    """CPU-bound pure-JVM control job (tools/control_worker.py): its
+    N->4N efficiency measures HOST scaling capacity with zero engine
+    overhead, separating hypervisor drift from engine behavior."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "control_worker.py"),
+         master, str(parts), str(CONTROL_ROWS)],
+        capture_output=True, text=True, timeout=1200, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -87,6 +101,13 @@ def main() -> None:
     # back-to-back (same host state); the reported figure is the MEDIAN
     # pair efficiency, with every raw sample included for transparency.
     n, n4 = SCALE_N, SCALE_N * 4
+    # CPU-bound CONTROL pair first: host scaling capacity with zero
+    # engine overhead (a depressed control number = hypervisor state, not
+    # engine behavior)
+    ctl_n = run_control(f"local[{n}]", n)
+    ctl_m = run_control(f"local[{n4}]", n4)
+    control_eff = (ctl_n["seconds"] / ctl_m["seconds"]) / 4.0
+
     pairs = []
     for _ in range(SCALE_PAIRS):
         rn = run_worker(f"local[{n}]", n, fx, warm)
@@ -127,6 +148,11 @@ def main() -> None:
         "scaling_pairs_raw": [
             {f"sec_local{n}": p[0]["seconds"],
              f"sec_local{n4}": p[1]["seconds"]} for p in pairs],
+        # host-capacity control (pure-JVM CPU-bound, no engine overhead):
+        # e2e efficiency should be read relative to this ceiling
+        "control_efficiency": round(control_eff, 3),
+        "control_pairs_raw": {f"sec_local{n}": ctl_n["seconds"],
+                              f"sec_local{n4}": ctl_m["seconds"]},
     }
     print(json.dumps(result))
 

@@ -330,17 +330,32 @@ _TAG_COREF = ("transform(coalesce(coref_arr, array()), c -> struct("
 def _merge_rank_arrays(df: DataFrame) -> DataFrame:
     """pem_arr + coref_arr -> cand_arr: the reference's stable merge by
     (-prob, source, origin rank), first-occurrence dedup by qcode, top-30
-    — entirely array expressions per mention row, no shuffle."""
+    — entirely array expressions per mention row, no shuffle.
+
+    Fast path (the overwhelming majority of mentions): no coref array ->
+    pem_arr is ALREADY rank-sorted and qcode-unique (A1 guarantees both),
+    so the candidate list is a plain slice+retag — the O(n^2)
+    slice-per-element dedup only runs for actual coref receivers.
+    """
+    direct_only = F.expr(
+        f"transform(slice(coalesce(pem_arr, array()), 1,"
+        f" {config.MAX_CANDIDATES}),"
+        " c -> struct(c.qcode as qcode, c.prob as prob,"
+        " cast(0 as tinyint) as src_order, c.rank as orig_rank))")
     out = (
         df.withColumn("sorted_arr", F.expr(
-            f"sort_array(concat({_TAG_DIRECT}, {_TAG_COREF}))"))
+            f"CASE WHEN coref_arr IS NULL OR size(coref_arr) = 0 "
+            f"THEN NULL ELSE sort_array(concat({_TAG_DIRECT}, {_TAG_COREF}))"
+            f" END"))
         .withColumn("dedup_arr", F.expr(
             "filter(sorted_arr, (x, i) -> i = 0 OR NOT exists("
             "slice(sorted_arr, 1, i), y -> y.qcode = x.qcode))"))
-        .withColumn("cand_arr", F.expr(
-            f"transform(slice(dedup_arr, 1, {config.MAX_CANDIDATES}),"
-            " c -> struct(c.qcode as qcode, c.prob as prob,"
-            " c.src_order as src_order, c.orig_rank as orig_rank))"))
+        .withColumn("cand_arr", F.coalesce(
+            F.expr(
+                f"transform(slice(dedup_arr, 1, {config.MAX_CANDIDATES}),"
+                " c -> struct(c.qcode as qcode, c.prob as prob,"
+                " c.src_order as src_order, c.orig_rank as orig_rank))"),
+            direct_only))
     )
     return out.drop("pem_arr", "coref_arr", "sorted_arr", "dedup_arr")
 

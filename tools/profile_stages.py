@@ -1,8 +1,13 @@
-"""Stage-by-stage wall-time profile of the e2e pipeline at one master.
+"""Stage-by-stage wall-time profile of the PRODUCTION (array-native) e2e
+pipeline at one master — the same stage composition run_pipeline executes:
+
+    dict artifact -> fused extract+detect (mapInPandas) ->
+    mention_candidate_arrays -> observed pairs -> with_candidate_logits ->
+    links_from_logits -> cluster_mentions
 
 Usage: python tools/profile_stages.py local[8] 8 <fixture_dir> <warmup_dir>
-Prints one JSON line with per-stage seconds (each stage materialized with
-a noop write so downstream stages are NOT re-timed — uses persist()).
+Each stage is materialized (persist + count) so downstream stages are not
+re-timed. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -17,15 +22,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     master, parts, fixture_dir, warmup_dir = sys.argv[1:5]
-    from pyspark.sql import functions as F
-
-    from refined_spark.operators.candidates import generate_candidates
+    from refined_spark.operators.candidates import (
+        mention_candidate_arrays,
+        pem_surface_arrays,
+    )
     from refined_spark.operators.clustering import cluster_mentions
-    from refined_spark.operators.extract import with_extracted_text
-    from refined_spark.operators.mentions import detect_mentions
-    from refined_spark.operators.scoring import extract_links, score_candidates
-    from refined_spark.pipeline import (load_tables, load_weights,
-                                        match_dictionary, run_pipeline)
+    from refined_spark.operators.extract import extracted_text_col
+    from refined_spark.operators.mentions import detect_mention_rows
+    from refined_spark.operators.scoring import (
+        links_from_logits,
+        observed_pairs_from_mentions,
+        with_candidate_logits,
+    )
+    from refined_spark.pipeline import (
+        _default_dict_dir,
+        load_tables,
+        load_weights,
+        run_pipeline,
+        write_match_dictionary,
+    )
     from refined_spark.session import get_spark
 
     spark = get_spark(f"profile_{master}", master=master,
@@ -45,25 +60,25 @@ def main() -> None:
         return df
 
     try:
-        # warmup
         run_pipeline(spark, warmup_dir, mode="e2e")["clusters"].count()
 
         t = step("load_tables", lambda: load_tables(spark, fixture_dir))
-        keys = step("match_dictionary",
-                    lambda: match_dictionary(t["pem"], t["entity"]))
-        from refined_spark.operators.mentions import fused_extract_detect
-        mentions = step("fused_extract_detect",
-                        lambda: mat(fused_extract_detect(
-                            spark, t["documents"], keys)))
-        cands = step("candidates",
-                     lambda: mat(generate_candidates(
-                         mentions, t["pem"], t["entity"])))
+        dict_path = step("dict_artifact", lambda: write_match_dictionary(
+            t["pem"], t["entity"], _default_dict_dir(fixture_dir),
+            reuse=False))
+        docs = t["documents"].withColumn("text", extracted_text_col("html"))
+        mentions = step("extract_detect", lambda: mat(
+            detect_mention_rows(spark, docs, dict_path=dict_path)))
+        pem_arrays = step("pem_arrays", lambda: mat(
+            pem_surface_arrays(t["pem"], t["entity"])))
+        cand_arr = step("candidate_arrays", lambda: mat(
+            mention_candidate_arrays(mentions, pem_arrays)))
+        pairs = step("observed_pairs", lambda: mat(
+            observed_pairs_from_mentions(mentions, pem_arrays)))
         weights = load_weights(t["ed_weights"])
-        scored = step("scoring",
-                      lambda: mat(score_candidates(
-                          cands, mentions, t["entity"], t["entity_emb"],
-                          t["topic_class"], weights)))
-        links = step("links", lambda: mat(extract_links(scored, mentions)))
+        links = step("logits_links", lambda: mat(links_from_logits(
+            with_candidate_logits(cand_arr, t["entity"], t["entity_emb"],
+                                  t["topic_class"], weights, pairs=pairs))))
         step("clusters", lambda: cluster_mentions(links).count())
         times["total"] = round(sum(times.values()), 2)
         print(json.dumps(dict(master=master, **times)))
