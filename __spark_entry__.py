@@ -305,6 +305,54 @@ def q_table_coltype(spark, sf):
     return column_coarse_majority(linked).orderBy("table_id")
 
 
+def q_job_results_page(spark, sf):
+    """S9 — Koala-shaped result sink + deterministic pagination: write the
+    nested per-cell result rows, read back page 1 (rows 51..100),
+    flattened for value comparison."""
+    import tempfile
+
+    from refined_spark.operators.sink import (
+        koala_result_rows,
+        read_results_page,
+        write_job_results,
+    )
+    from refined_spark.operators.tables import table_topk
+
+    scored, linked = _table_parts(spark, sf)
+    rows = koala_result_rows(table_topk(scored, linked, k=3))
+    path = os.path.join(tempfile.gettempdir(), "refined_spark_results",
+                        os.path.basename(ensure_fixtures(sf)))
+    write_job_results(rows, path)
+    page = read_results_page(spark, path, page=1, page_size=50)
+    return page.select(
+        "table_id", "idRow", "row",
+        F.col("linked_entities.idColumn").alias("idColumn"),
+        F.explode("linked_entities.candidates").alias("c"),
+    ).select(
+        "table_id", "idRow", "row", "idColumn",
+        F.col("c.cand_rank").alias("cand_rank"),
+        F.col("c.qcode").alias("qcode"),
+        F.col("c.match").alias("match"),
+    ).orderBy("table_id", "row", "cand_rank")
+
+
+def q_job_metrics(spark, sf):
+    """S10 — metrics sink: stage rows/lineage from the checkpointed run's
+    manifests as a queryable DataFrame (wall times are non-deterministic,
+    so the oracled projection is (stage, rows, status))."""
+    import tempfile
+
+    from refined_spark.checkpoint import run_pipeline_checkpointed
+    from refined_spark.operators.sink import stage_metrics
+
+    fx = ensure_fixtures(sf)
+    run_dir = os.path.join(tempfile.gettempdir(), "refined_spark_runs",
+                           os.path.basename(fx))
+    run_pipeline_checkpointed(spark, fx, run_dir, mode="spans")
+    return stage_metrics(spark, run_dir).select(
+        "stage", "rows", "status").orderBy("stage")
+
+
 def q_entity_index(spark, sf):
     from refined_spark.operators.pem_build import build_entity_index
 
@@ -665,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_pem": q_anchor_pem,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
+        "job_results_page": q_job_results_page,
+        "job_metrics": q_job_metrics,
         "table_accuracy": q_table_accuracy,
         "table_coltype": q_table_coltype,
         "entity_index": q_entity_index,
@@ -1514,6 +1564,45 @@ def oracle_sql() -> dict[str, str]:
                          / ((tp / (tp + fp + 1e-8))
                             + (tp / (tp + fn + 1e-8)) + 1e-8), 6) as f1
             from agg
+        """,
+        "job_results_page": f"""
+            with {_table_link_cte()},
+            top as (
+              select table_id, "row", qcode,
+                     row_number() over (partition by table_id, "row"
+                       order by score desc, rank asc, qcode asc)
+                       as cand_rank
+              from scored where qcode is not null
+            ), tk as (
+              select t.table_id, t."row", t.qcode,
+                     cast(t.cand_rank as int) as cand_rank,
+                     case when l.pred_qcode is not null
+                          then t.qcode = l.pred_qcode
+                          else t.cand_rank = 1 end as match
+              from top t left join linked l
+                on t.table_id = l.table_id and t."row" = l."row"
+              where t.cand_rank <= 3
+            ), cells_r as (
+              select table_id, "row",
+                     row_number() over (order by table_id, "row") as rn
+              from (select distinct table_id, "row" from tk)
+            )
+            select tk.table_id, 'row_' || tk."row" as idRow, tk."row",
+                   1 as idColumn, tk.cand_rank, tk.qcode, tk.match
+            from tk join cells_r c
+              on tk.table_id = c.table_id and tk."row" = c."row"
+            where c.rn > 50 and c.rn <= 100
+            order by tk.table_id, tk."row", tk.cand_rank
+        """,
+        "job_metrics": f"""
+            with n as (
+              select cast(count(*) as bigint) as c
+              from read_parquet('{_fxp("gold_spans")}')
+            )
+            select s.stage, n.c as rows, 'ok' as status
+            from (values ('candidates'), ('clusters'), ('links'),
+                         ('mentions')) s(stage), n
+            order by s.stage
         """,
         "table_coltype": f"""
             with {_table_link_cte()},
