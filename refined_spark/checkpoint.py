@@ -38,7 +38,7 @@ MANIFEST = "manifest.json"
 # into the fingerprint chain so a run_dir checkpointed by an older
 # pipeline recomputes instead of resuming with a stale layout (v2: the
 # candidates stage became the array-per-mention frame).
-PIPELINE_SCHEMA_VERSION = 2
+PIPELINE_SCHEMA_VERSION = 3  # v3: candidate frame carries norm_sf/has_coref
 
 
 class CheckpointRunner:

@@ -343,7 +343,9 @@ def _merge_rank_arrays(df: DataFrame) -> DataFrame:
         " c -> struct(c.qcode as qcode, c.prob as prob,"
         " cast(0 as tinyint) as src_order, c.rank as orig_rank))")
     out = (
-        df.withColumn("sorted_arr", F.expr(
+        df.withColumn("has_coref",
+                      F.size(F.coalesce("coref_arr", F.array())) > 0)
+        .withColumn("sorted_arr", F.expr(
             f"CASE WHEN coref_arr IS NULL OR size(coref_arr) = 0 "
             f"THEN NULL ELSE sort_array(concat({_TAG_DIRECT}, {_TAG_COREF}))"
             f" END"))
@@ -419,15 +421,32 @@ def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
     single_full = latest.join(
         src, latest.norm_sf == pem_arrays.surface_form, "left"
     ).drop("surface_form").select(
-        "mention_key", "ctx_word", "pem_arr", "coref_arr")
+        "mention_key", "norm_sf", "ctx_word", "pem_arr", "coref_arr")
 
     multi = direct.where(F.col("norm_sf").contains(" ")).select(
-        "mention_key", "ctx_word", "pem_arr",
+        "mention_key", "norm_sf", "ctx_word", "pem_arr",
         F.lit(None).cast(
             "array<struct<rank:int,qcode:string,prob:double,"
             "is_human:boolean>>").alias("coref_arr"))
 
     return _merge_rank_arrays(single_full.unionByName(multi))
+
+
+def pair_candidate_arrays(surf_ctx: DataFrame,
+                          pem_arrays: DataFrame) -> DataFrame:
+    """Candidate arrays at the DISTINCT (norm_sf, ctx_word) pair level —
+    the Zipf-dedup of the direct (non-coref) candidate computation: a
+    mention's direct candidate list is a pure function of its surface
+    form, so it is computed once per distinct pair and broadcast back
+    (see scoring.with_candidate_logits pair_logits)."""
+    pc = (surf_ctx.join(F.broadcast(pem_arrays),
+                        surf_ctx.norm_sf == pem_arrays.surface_form,
+                        "left")
+          .drop("surface_form")
+          .withColumn("coref_arr", F.lit(None).cast(
+              "array<struct<rank:int,qcode:string,prob:double,"
+              "is_human:boolean>>")))
+    return _merge_rank_arrays(pc)
 
 
 def explode_candidate_arrays(cand_df: DataFrame) -> DataFrame:

@@ -291,38 +291,62 @@ def observed_pairs_from_mentions(mentions: DataFrame,
     return direct_pairs.unionByName(coref_pairs).distinct()
 
 
+def feature_map_by_ctx(pairs: DataFrame, entity: DataFrame,
+                       entity_emb: DataFrame,
+                       topic_class: DataFrame) -> DataFrame:
+    """(ctx_key -> {qcode -> (desc_score, class_overlap)}) map frame —
+    the broadcastable feature store for the logits transform. Build ONCE
+    per pipeline and share across logits call sites."""
+    ctx_words = (pairs.select("ctx_word")
+                 .where(F.col("ctx_word").isNotNull()).distinct())
+    feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
+                               ctx_words)
+    return feats.groupBy(
+        F.coalesce("ctx_word", F.lit(_CTX_NULL_KEY)).alias("ctx_key")
+    ).agg(F.map_from_entries(F.collect_list(F.struct(
+        "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap"))
+
+
 def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
                           entity_emb: DataFrame, topic_class: DataFrame,
                           weights: dict[str, float],
-                          pairs: DataFrame | None = None) -> DataFrame:
-    """cand_df (mention_key, ctx_word, cand_arr) -> + ``logits`` array.
+                          pairs: DataFrame | None = None,
+                          feature_map: DataFrame | None = None,
+                          pair_logits: DataFrame | None = None
+                          ) -> DataFrame:
+    """cand_df (mention_key, ctx_word, cand_arr [, norm_sf, has_coref])
+    -> + ``logits`` array.
 
     The per-candidate linear layer (F6) evaluates as a transform() over
     the candidate array with feature lookup in a BROADCAST map keyed by
     (ctx_word -> qcode -> features): zero shuffle of the mention table.
     The map's size is the distinct observed (ctx, qcode) pair count —
     alias-table-scale, the same budget the reference spends on its PEM
-    dict on every worker."""
-    if pairs is None:
-        pairs = (cand_df.select("ctx_word",
-                                F.explode("cand_arr").alias("c"))
-                 .select("ctx_word", F.col("c.qcode").alias("qcode"))
-                 .distinct())
-    ctx_words = (pairs.select("ctx_word")
-                 .where(F.col("ctx_word").isNotNull()).distinct())
-    feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
-                               ctx_words)
-    by_ctx = feats.groupBy(
-        F.coalesce("ctx_word", F.lit(_CTX_NULL_KEY)).alias("ctx_key")
-    ).agg(F.map_from_entries(F.collect_list(F.struct(
-        "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap"))
+    dict on every worker.
+
+    ``pair_logits`` (round-2 scale move): a broadcast
+    (norm_sf, ctx_word) -> logits table precomputed on the DISTINCT
+    surface-context pairs. Mention surfaces are Zipfian, so the map-scan
+    logits transform — the hottest per-row array math in the job — runs
+    once per distinct pair instead of once per mention; per-mention
+    evaluation remains only for coref receivers (their candidate array
+    is mention-specific). Requires cand_df to carry norm_sf + has_coref.
+    """
+    if feature_map is None:
+        if pairs is None:
+            pairs = (cand_df.select("ctx_word",
+                                    F.explode("cand_arr").alias("c"))
+                     .select("ctx_word", F.col("c.qcode").alias("qcode"))
+                     .distinct())
+        feature_map = feature_map_by_ctx(pairs, entity, entity_emb,
+                                         topic_class)
 
     j = cand_df.join(
-        F.broadcast(by_ctx),
+        F.broadcast(feature_map),
         F.coalesce(cand_df["ctx_word"], F.lit(_CTX_NULL_KEY))
-        == by_ctx["ctx_key"], "left").drop("ctx_key")
+        == feature_map["ctx_key"], "left").drop("ctx_key")
     w = weights
-    logit_expr = (
+    logit_expr = F.expr(
         f"transform(cand_arr, c -> CASE WHEN c.prob = 0D "
         f"THEN cast({config.PEM_ZERO_MASK} as double) ELSE "
         f"{w['class_overlap']}D * element_at(fmap, c.qcode).class_overlap"
@@ -330,7 +354,20 @@ def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
         f" + {w['class_dist']}D * (1.0D - element_at(fmap, c.qcode).class_overlap)"
         f" + {w['desc_score']}D * element_at(fmap, c.qcode).desc_score"
         f" + {w['bias']}D END)")
-    return j.withColumn("logits", F.expr(logit_expr))
+    if pair_logits is None:
+        return j.withColumn("logits", logit_expr)
+    b = F.broadcast(pair_logits.select(
+        F.col("norm_sf").alias("_b_sf"),
+        F.col("ctx_word").alias("_b_ctx"),
+        F.col("logits").alias("_b_logits")))
+    j = j.join(b, (j["norm_sf"] == b["_b_sf"])
+               & j["ctx_word"].eqNullSafe(b["_b_ctx"]), "left")
+    # CASE evaluates lazily per row: the map-scan transform only runs for
+    # coref receivers; everyone else reuses the pair-level result
+    logits = F.when(F.col("has_coref"), logit_expr).otherwise(
+        F.coalesce(F.col("_b_logits"), logit_expr))
+    return (j.withColumn("logits", logits)
+            .drop("_b_sf", "_b_ctx", "_b_logits"))
 
 
 def links_from_logits(with_logits: DataFrame,

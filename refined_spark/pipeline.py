@@ -31,6 +31,7 @@ from . import config
 from .operators.candidates import (
     explode_candidate_arrays,
     mention_candidate_arrays,
+    pair_candidate_arrays,
     pem_surface_arrays,
 )
 from .operators.clustering import cluster_mentions
@@ -38,6 +39,7 @@ from .operators.extract import extracted_text_col, with_extracted_text
 from .operators.mentions import detect_mention_rows, mentions_from_spans
 from .operators.scoring import (
     explode_scored_arrays,
+    feature_map_by_ctx,
     links_from_logits,
     observed_pairs_from_mentions,
     with_candidate_logits,
@@ -170,9 +172,19 @@ def run_pipeline(
     # candidate subtree is consumed exactly once per action and never
     # needs caching
     pairs = observed_pairs_from_mentions(mentions, pem_arrays)
+    fmap = feature_map_by_ctx(pairs, t["entity"], t["entity_emb"],
+                              t["topic_class"])
+    # Zipf dedup of the scoring math: logits once per DISTINCT
+    # (surface, ctx) pair, broadcast back; per-mention evaluation only
+    # for coref receivers (mention-specific candidate arrays)
+    surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
+    pair_frame = pair_candidate_arrays(surf_ctx, pem_arrays)
+    pair_logits = with_candidate_logits(
+        pair_frame, t["entity"], t["entity_emb"], t["topic_class"],
+        weights, feature_map=fmap)
     with_logits = with_candidate_logits(
         cand_arr, t["entity"], t["entity_emb"], t["topic_class"], weights,
-        pairs=pairs)
+        feature_map=fmap, pair_logits=pair_logits)
     candidates = explode_candidate_arrays(cand_arr).where(
         F.col("qcode").isNotNull())
     scored = explode_scored_arrays(with_logits)
