@@ -36,11 +36,27 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "e2e")
 
 
+def _pin(cmd: list[str], n_cores: int) -> list[str]:
+    """Pin the whole worker process tree (JVM + python workers + GC +
+    shuffle threads) to exactly n_cores host cores. Without this a
+    local[2] run borrows extra host cores for GC/Arrow/python workers —
+    the measured '2-core' leg actually uses 4-6 cores, understating
+    scaling efficiency. With pinning, each leg IS an N-core machine,
+    which is what the north rule's \"N and 4N cores\" asks this sandbox
+    to emulate."""
+    import shutil
+
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{n_cores - 1}", *cmd]
+    return cmd
+
+
 def run_worker(master: str, parts: int, fixture_dir: str,
                warmup_dir: str) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "bench_worker.py"),
-         master, str(parts), fixture_dir, MODE, warmup_dir],
+        _pin([sys.executable,
+              os.path.join(REPO, "tools", "bench_worker.py"),
+              master, str(parts), fixture_dir, MODE, warmup_dir], parts),
         capture_output=True, text=True, timeout=2400, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -79,8 +95,9 @@ def run_control(master: str, parts: int) -> dict:
     N->4N efficiency measures HOST scaling capacity with zero engine
     overhead, separating hypervisor drift from engine behavior."""
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "control_worker.py"),
-         master, str(parts), str(CONTROL_ROWS)],
+        _pin([sys.executable,
+              os.path.join(REPO, "tools", "control_worker.py"),
+              master, str(parts), str(CONTROL_ROWS)], parts),
         capture_output=True, text=True, timeout=1200, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -252,42 +252,61 @@ def pair_feature_table(pairs: DataFrame, entity: DataFrame,
 
 
 def observed_pairs_from_mentions(mentions: DataFrame,
-                                 pem_arrays: DataFrame) -> DataFrame:
+                                 pem_arrays: DataFrame,
+                                 surf_ctx: DataFrame | None = None
+                                 ) -> DataFrame:
     """The (ctx_word, qcode) feature domain WITHOUT touching the candidate
     frame: distinct (norm_sf, ctx_word) mention pairs (Zipf-deduped,
     narrow shuffle) x the broadcast alias arrays cover every direct
-    candidate. Coref candidates are covered by the SAME-DOC product of
-    (ctx of single-word mentions) x (strong human candidates of the doc's
-    actually-REGISTERING multi-word mentions) — an equi-join on url, so
-    the domain is bounded by real co-occurrence, not by (all ctx words)
-    x (all human entities of all alias surfaces) as a global cross join
-    would be (round-1 review: that product is executor-OOM territory at
-    18M surfaces). Extra map entries are never looked up, so the within-
-    doc overapproximation (word-match and order ignored) is harmless;
-    coverage of every real candidate is what matters, and the NumPy
-    cross-check (tests/test_pipeline_parity.py) pins it."""
+    candidate.
+
+    Coref candidates are covered on the WORD axis, which is the axis the
+    protocol actually pairs on: a receiver (single-word mention w, ctx c)
+    can only ever be handed the capped human candidates of a multi-word
+    surface CONTAINING w (candidate_generator.py:74-94) — so
+    (c, q) pairs with q ∈ human(s), w ∈ words(s), s OBSERVED as a
+    multi-word mention cover every coref candidate. All three inputs are
+    vocabulary-scale (distinct surfaces/ctx words), so the coref domain
+    is one broadcast equi-join on the word — ZERO doc-scale shuffles.
+    Earlier formulations paid two url-level distincts plus a url
+    SortMergeJoin over the full mentions table per pipeline run (doc-
+    scale shuffles on the e2e critical path) for a doc-co-occurrence
+    bound the feature map does not need: extra map entries are never
+    looked up (a mention only probes its own candidates), so looser-on-
+    doc/exact-on-word is harmless; coverage of every real candidate is
+    what matters, and the NumPy cross-check
+    (tests/test_pipeline_parity.py) pins it. The word join is NOT the
+    round-1-review cross-join blowup: it is keyed by the receiver word
+    and bounded by observed multi-word surfaces x <=MAX_CANDIDATES
+    human candidates — the same broadcast budget as pem_arrays itself.
+    """
     minp = config.PERSON_COREF_PEM_MIN
-    surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
+    if surf_ctx is None:
+        surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
     direct_pairs = (
         surf_ctx.join(F.broadcast(pem_arrays),
                       surf_ctx.norm_sf == pem_arrays.surface_form)
         .select("ctx_word", F.explode("pem_arr").alias("c"))
         .select("ctx_word", F.col("c.qcode").alias("qcode"))
     )
-    registering = (
-        mentions.where(F.col("norm_sf").contains(" "))
-        .select("url", "norm_sf").distinct()
+    # (word, qcode): capped human candidates of multi-word surfaces that
+    # are OBSERVED as mentions, exploded per word — vocabulary-scale
+    word_q = (
+        surf_ctx.where(F.col("norm_sf").contains(" "))
+        .select("norm_sf").distinct()
         .join(F.broadcast(pem_arrays),
               F.col("norm_sf") == pem_arrays.surface_form)
-        .select("url", F.explode(F.expr(
-            f"filter(pem_arr, c -> c.is_human AND c.prob > {minp})"))
-            .alias("c"))
-        .select("url", F.col("c.qcode").alias("qcode")).distinct()
+        .select("norm_sf", F.explode(F.expr(
+            f"filter(pem_arr, c -> c.is_human AND c.prob > {minp})"
+        )).alias("c"))
+        .select(F.explode(F.split("norm_sf", " ")).alias("word"),
+                F.col("c.qcode").alias("qcode")).distinct()
     )
-    recv_ctx = (mentions.where(~F.col("norm_sf").contains(" "))
-                .select("url", "ctx_word").distinct())
-    coref_pairs = recv_ctx.join(registering, "url").select(
-        "ctx_word", "qcode")
+    recv = (surf_ctx.where(~F.col("norm_sf").contains(" "))
+            .select("norm_sf", "ctx_word"))
+    coref_pairs = recv.join(
+        F.broadcast(word_q), recv.norm_sf == word_q.word
+    ).select("ctx_word", "qcode")
     return direct_pairs.unionByName(coref_pairs).distinct()
 
 

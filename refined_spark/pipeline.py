@@ -168,16 +168,22 @@ def run_pipeline(
     cand_arr = mention_candidate_arrays(
         mentions, pem_arrays, broadcast_pem=broadcast_pem)
     weights = load_weights(t["ed_weights"])
-    # feature domain from the mentions table (not cand_arr), so the
-    # candidate subtree is consumed exactly once per action and never
-    # needs caching
-    pairs = observed_pairs_from_mentions(mentions, pem_arrays)
+    # The distinct (surface, ctx) pairs drive BOTH broadcast builds
+    # (feature map + pair logits). Persisted because each broadcast
+    # build is its own job: without the persist every build re-scans the
+    # full mentions cache for a vocabulary-sized result. This is the
+    # ONLY doc-scale pass outside the main pipeline action.
+    surf_ctx = mentions.select("norm_sf", "ctx_word").distinct().persist()
+    # feature domain from surf_ctx (not cand_arr), so the candidate
+    # subtree is consumed exactly once per action and never needs
+    # caching; zero doc-scale shuffles (see observed_pairs docstring)
+    pairs = observed_pairs_from_mentions(mentions, pem_arrays,
+                                         surf_ctx=surf_ctx)
     fmap = feature_map_by_ctx(pairs, t["entity"], t["entity_emb"],
                               t["topic_class"])
     # Zipf dedup of the scoring math: logits once per DISTINCT
     # (surface, ctx) pair, broadcast back; per-mention evaluation only
     # for coref receivers (mention-specific candidate arrays)
-    surf_ctx = mentions.select("norm_sf", "ctx_word").distinct()
     pair_frame = pair_candidate_arrays(surf_ctx, pem_arrays)
     pair_logits = with_candidate_logits(
         pair_frame, t["entity"], t["entity_emb"], t["topic_class"],
@@ -192,10 +198,11 @@ def run_pipeline(
     clusters = cluster_mentions(links)
 
     def unpersist() -> None:
-        """Release the two persisted frames — callers that run multiple
+        """Release the persisted frames — callers that run multiple
         pipelines per session (entry harness, tests) should invoke this
         when a result set is superseded, or cached blocks accumulate."""
         mentions.unpersist()
+        surf_ctx.unpersist()
         links.unpersist()
 
     return dict(mentions=mentions, candidates=candidates, scored=scored,
