@@ -256,6 +256,50 @@ def q_anchor_pem(spark, sf):
     return build_pem(counts).orderBy("surface_form", "rank")
 
 
+def _dump_path(sf: str) -> str:
+    return os.path.join(ensure_fixtures(sf), "wikidata_dump.jsonl")
+
+
+def q_wikidata_lookups(spark, sf):
+    """S1 — wikidata dump scan → lookup fan-out as one long
+    (qcode, kind, value) table (each row lands in exactly one of the
+    reference's 16 output files; process_wikidata_dump.py:51-211)."""
+    from refined_spark.operators.wikidata import (
+        lookup_fanout,
+        read_wikidata_dump,
+    )
+
+    parsed = read_wikidata_dump(spark, _dump_path(sf))
+    return lookup_fanout(parsed).orderBy("qcode", "kind", "value")
+
+
+def q_class_arrays(spark, sf):
+    """S1 → A3 composition: per-entity dense class-index arrays from the
+    dump's relation triples + P279 closure
+    (generate_qcode_to_type_indices.py:22-95). Arrays emitted as CSV
+    strings for the order-insensitive value-hash harness."""
+    from refined_spark.operators.wikidata import (
+        CLASS_SOURCE_PROPS,
+        build_class_arrays,
+        read_wikidata_dump,
+        wikidata_lookups,
+    )
+
+    parsed = read_wikidata_dump(spark, _dump_path(sf))
+    lk = wikidata_lookups(parsed)
+    rel = None
+    for p in CLASS_SOURCE_PROPS:
+        part = lk[p.lower()].select(
+            "qcode", F.col("value_id").alias("class_name"))
+        rel = part if rel is None else rel.unionByName(part)
+    arrays = build_class_arrays(rel, lk["p279"].select(
+        F.col("qcode").alias("child_class"),
+        F.col("value_id").alias("parent_class")))
+    return arrays.select(
+        "qcode", F.array_join("class_idx", ",").alias("class_idx_csv")
+    ).orderBy("qcode")
+
+
 def _table_parts(spark, sf):
     from refined_spark.operators.tables import (
         link_table_cells,
@@ -711,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pem_build": q_pem_build,
         "link_extract": q_link_extract,
         "anchor_pem": q_anchor_pem,
+        "wikidata_lookups": q_wikidata_lookups,
+        "class_arrays": q_class_arrays,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
         "job_results_page": q_job_results_page,
@@ -811,6 +857,20 @@ def _anchor_counts_cte() -> str:
           select surface_form_raw, qcode,
                  count(*) as cnt
           from mapped group by 1, 2
+        )
+    """
+
+
+def _wikidata_items_cte() -> str:
+    """DuckDB replay of the S1 dump scan as an `items` CTE (column `j` =
+    one entity JSON). Independent parse path: DuckDB reads the dump as a
+    real JSON array (bracket/comma handling in the json reader) while the
+    Spark side does the reference's line-strip — agreement checks both."""
+    path = os.path.join(FX_T2, "wikidata_dump.jsonl")
+    return f"""
+        items as (
+          select json as j
+          from read_json('{path}', format='array', records='false')
         )
     """
 
@@ -1509,6 +1569,91 @@ def oracle_sql() -> dict[str, str]:
             from probs
             qualify rank <= 30
             order by surface_form, rank
+        """,
+        "wikidata_lookups": f"""
+            with {_wikidata_items_cte()},
+            label as (
+              select j->>'id' as qcode, 'label' as kind,
+                     j->'labels'->'en'->>'value' as value
+              from items where (j->'labels'->'en') is not null
+            ), descr as (
+              select j->>'id', 'description',
+                     j->'descriptions'->'en'->>'value'
+              from items where (j->'descriptions'->'en') is not null
+            ), alias as (
+              select qcode, 'alias', x->>'value' from (
+                select j->>'id' as qcode,
+                       unnest(from_json(coalesce(j->'aliases'->>'en','[]'),
+                                        '["json"]')) as x
+                from items)
+            ), sitelink as (
+              select j->>'id', 'sitelink',
+                     j->'sitelinks'->'enwiki'->>'title'
+              from items where (j->'sitelinks'->'enwiki') is not null
+            ), rel as (
+              select qcode, lower(prop) as kind,
+                     x->'mainsnak'->'datavalue'->'value'->>'id' as value
+              from (
+                select j->>'id' as qcode, p.prop,
+                       unnest(from_json(
+                         coalesce(j->'claims'->>p.prop, '[]'),
+                         '["json"]')) as x
+                from items
+                cross join (select unnest(['P31','P279','P17','P641',
+                                           'P106']) as prop) p)
+            )
+            select qcode, kind, value from (
+              select * from label union all select * from descr
+              union all select * from alias union all
+              select * from sitelink union all select * from rel)
+            order by qcode, kind, value
+        """,
+        "class_arrays": f"""
+            with recursive {_wikidata_items_cte()},
+            edges as (
+              select child, x->'mainsnak'->'datavalue'->'value'->>'id'
+                       as parent
+              from (
+                select j->>'id' as child,
+                       unnest(from_json(coalesce(j->'claims'->>'P279','[]'),
+                                        '["json"]')) as x
+                from items)
+            ), nodes as (
+              select distinct n from (
+                select child as n from edges
+                union all select parent from edges)
+            ), vocab as (
+              select n as class_name,
+                     cast(row_number() over (order by n) - 1 as int)
+                       as class_idx
+              from nodes
+            ), clo(child, anc) as (
+              select n, n from nodes
+              union
+              select e.child, c.anc
+              from edges e join clo c on c.child = e.parent
+            ), rel as (
+              select qcode,
+                     x->'mainsnak'->'datavalue'->'value'->>'id'
+                       as class_name
+              from (
+                select j->>'id' as qcode,
+                       unnest(from_json(
+                         coalesce(j->'claims'->>p.prop, '[]'),
+                         '["json"]')) as x
+                from items
+                cross join (select unnest(['P31','P106','P17','P641'])
+                              as prop) p)
+            ), idx as (
+              select distinct r.qcode, v.class_idx
+              from rel r
+              join clo on clo.child = r.class_name
+              join vocab v on v.class_name = clo.anc
+            )
+            select qcode,
+                   string_agg(class_idx, ',' order by class_idx)
+                     as class_idx_csv
+            from idx group by qcode order by qcode
         """,
         "table_link": f"""
             with {_table_link_cte()}

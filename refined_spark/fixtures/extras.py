@@ -474,6 +474,67 @@ def gen_bio_tags(out_dir: str, world: dict, n_urls: int) -> None:
 # entry point
 # --------------------------------------------------------------------------
 
+def gen_wikidata_dump(out_dir: str, world: dict) -> None:
+    """JSON-array dump in the real wikidata shipping shape — '[' / ']'
+    bracket lines, per-entity JSON with a trailing comma — covering
+    labels / descriptions / aliases / sitelinks / P31 / P279 / P106 /
+    P17 / P641 claims over the fixture universe (class items carry the
+    P279 edges, so the dump is self-contained: the S1 fan-out feeds the
+    A3 class-array build with no side tables)."""
+    import json as jsonlib
+    import os
+    import zlib
+
+    from . import gen as g
+
+    names, cidx, closure = g._class_tables()
+    by_set = {frozenset(cidx[c] for c in closure[n]): n for n in names}
+    non_person = [n for n in names if n != "C_person"]
+
+    def snak(vid: str) -> dict:
+        return {"mainsnak": {"datavalue": {"value": {"id": vid}}}}
+
+    items = []
+    for n in names:
+        parents = sorted(p for c, p in vocab.CLASS_EDGES if c == n)
+        item = {"id": n, "type": "item",
+                "labels": {"en": {"value": n[2:].replace("_", " ")}}}
+        if parents:
+            item["claims"] = {"P279": [snak(p) for p in parents]}
+        items.append(item)
+    for e in world["uni"]["entities"]:
+        base = by_set[frozenset(e["class_idx"])]
+        claims = {"P31": [snak(base)]}
+        h = zlib.crc32(e["qcode"].encode())
+        if e["is_human"]:
+            claims["P106"] = [snak("C_person")]
+        elif base in ("C_city", "C_river", "C_mountain") and h % 2 == 0:
+            claims["P17"] = [snak("C_place")]
+        elif base == "C_team":
+            claims["P641"] = [snak("C_sports_org")]
+        if h % 3 == 0 and not e["is_human"]:
+            # deterministic second instance-of: the union/dedup path of
+            # the class build is non-trivial only if some entity has >1
+            claims["P31"].append(snak(non_person[h % len(non_person)]))
+        item = {"id": e["qcode"], "type": "item",
+                "labels": {"en": {"value": e["label"]}},
+                "claims": claims,
+                "sitelinks": {"enwiki": {"title": e["wiki_title"]}}}
+        if e["description"] is not None:
+            item["descriptions"] = {"en": {"value": e["description"]}}
+        lowered = e["label"].lower()
+        if lowered != e["label"]:
+            item["aliases"] = {"en": [{"value": lowered}]}
+        items.append(item)
+
+    with open(os.path.join(out_dir, "wikidata_dump.jsonl"), "w") as f:
+        f.write("[\n")
+        for i, item in enumerate(items):
+            tail = ",\n" if i < len(items) - 1 else "\n"
+            f.write(jsonlib.dumps(item, sort_keys=True) + tail)
+        f.write("]\n")
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -484,3 +545,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_csv_tables(out_dir, world, {"t1": 12}.get(tier, 60))
     gen_messy_spans(out_dir, world, {"t1": 30}.get(tier, 150))
     gen_bio_tags(out_dir, world, {"t1": 30}.get(tier, 150))
+    gen_wikidata_dump(out_dir, world)

@@ -47,7 +47,7 @@ FIXTURE_VERSION = "v5"  # v5: documents/gold_spans sharded into many files
 # Versioned SEPARATELY so adding one never invalidates the expensive bench
 # corpus: extras are only generated for oracle tiers (t1/t2) and regenerate
 # independently of the core stamp.
-EXTRAS_VERSION = "x6"  # …x5 csv tables; x6 messy spans + bio tags
+EXTRAS_VERSION = "x7"  # …x6 messy spans + bio tags; x7 wikidata dump
 
 TIERS = {
     "t1": dict(n_stems=20, n_persons=12, n_docs=120, pair_cap=None,
@@ -58,7 +58,12 @@ TIERS = {
     # latency at the scaling-efficiency measurement levels (a 400k corpus
     # finishes its shuffle stages in ~1s — pure latency — at which point
     # N-vs-4N efficiency measures the driver, not the engine)
-    "bench": dict(n_stems=50, n_persons=60, n_docs=2_400_000, pair_cap=50,
+    # 4.8M docs: sized so the parallel work P is >=30x the fixed per-job
+    # floor S (driver planning + broadcast builds + CC round latency,
+    # ~16s measured round 2) — below that ratio the N-vs-4N measurement
+    # reads Amdahl on S, not engine scaling (P/S=22 -> eff 0.80 exactly;
+    # doubling the corpus moves the same engine to ~0.88)
+    "bench": dict(n_stems=50, n_persons=60, n_docs=4_800_000, pair_cap=50,
                   with_oracle=False, n_hot=35),
 }
 

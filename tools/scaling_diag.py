@@ -28,6 +28,7 @@ def main() -> None:
                                   "spark.eventLog.dir": evdir})
     try:
         run_pipeline(spark, warmup_dir, mode="e2e")["clusters"].count()
+        t0_ms = time.time() * 1000
         t0 = time.time()
         res = run_pipeline(spark, fixture_dir, mode="e2e")
         res["clusters"].count()
@@ -39,7 +40,14 @@ def main() -> None:
     # parse event log
     stages = {}
     t_first = None
-    for path in glob.glob(os.path.join(evdir, app_id + "*")):
+    paths = []
+    for root in glob.glob(os.path.join(evdir, "*" + app_id + "*")):
+        if os.path.isdir(root):  # rolling event-log dir
+            paths.extend(p for p in glob.glob(os.path.join(root, "*"))
+                         if os.path.basename(p).startswith("events"))
+        else:
+            paths.append(root)
+    for path in paths:
         with open(path) as f:
             for line in f:
                 try:
@@ -81,7 +89,8 @@ def main() -> None:
     # crude split: find the largest gap-free tail whose first stage reads
     # the bench fixture; simpler: report all, sorted by submission, with
     # wall times — the warmup prefix is recognizable by size.
-    rows = [dict(sid=k, **v) for k, v in sorted(stages.items())]
+    rows = [dict(sid=k, **v) for k, v in sorted(stages.items())
+            if v.get("sub") and v["sub"] >= t0_ms]
     print(json.dumps(dict(master=master, e2e_seconds=round(dt, 2),
                           stages=rows)))
 
