@@ -487,6 +487,26 @@ def q_date_resolve(spark, sf):
         "url", "start", "part_idx")
 
 
+def q_bpe_tokens(spark, sf):
+    """E2 — byte-level BPE tokenization with char offsets (reference
+    preprocessor.py:211-237). Merges artifact trained at fixture-gen
+    time; encoding is one Arrow-batched UDF (greedy min-rank loop). The
+    oracle is the independent rank-order-replay encoder's golden,
+    computed at fixture-gen time with separate offset arithmetic."""
+    from refined_spark.operators.bpe import with_bpe_tokens
+
+    fx = ensure_fixtures(sf)
+    docs = _fx(spark, sf, "bpe_docs")
+    toks = with_bpe_tokens(
+        docs, os.path.join(fx, "bpe_merges.parquet"))
+    t = F.col("t")
+    return (toks.select("doc_id", F.posexplode("tokens").alias("pos", "t"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    t.piece.alias("piece"), t.token_id.alias("token_id"),
+                    t.start.alias("start"), t.end.alias("end"))
+            .orderBy("doc_id", "pos"))
+
+
 def q_span_correct(spark, sf):
     """E6 — span corrections (newline/quote strips, junk drops, title
     split), reference general_utils.py:144-211."""
@@ -757,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_pem": q_anchor_pem,
         "wikidata_lookups": q_wikidata_lookups,
         "class_arrays": q_class_arrays,
+        "bpe_tokens": q_bpe_tokens,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
         "job_results_page": q_job_results_page,
@@ -1654,6 +1675,11 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(class_idx, ',' order by class_idx)
                      as class_idx_csv
             from idx group by qcode order by qcode
+        """,
+        "bpe_tokens": f"""
+            select doc_id, pos, piece, token_id, start, "end"
+            from read_parquet('{_fxp("expected_bpe_tokens")}')
+            order by doc_id, pos
         """,
         "table_link": f"""
             with {_table_link_cte()}

@@ -126,19 +126,36 @@ def main() -> None:
     control_eff = (ctl_n["seconds"] / ctl_m["seconds"]) / 4.0
 
     pairs = []
-    for _ in range(SCALE_PAIRS):
-        rn = run_worker(f"local[{n}]", n, fx, warm)
-        rm = run_worker(f"local[{n4}]", n4, fx, warm)
+    for i in range(SCALE_PAIRS):
+        # alternate leg order so slow-host windows don't systematically
+        # land on one parallelism level
+        if i % 2 == 0:
+            rn = run_worker(f"local[{n}]", n, fx, warm)
+            rm = run_worker(f"local[{n4}]", n4, fx, warm)
+        else:
+            rm = run_worker(f"local[{n4}]", n4, fx, warm)
+            rn = run_worker(f"local[{n}]", n, fx, warm)
         pairs.append((rn, rm))
 
     def pair_eff(p):
         return (p[0]["seconds"] / p[1]["seconds"]) / 4.0
 
-    ordered = sorted(pairs, key=pair_eff)
-    rn, rm = ordered[len(ordered) // 2]
-    thr_n = rn["n_docs"] / rn["seconds"]
-    thr_m = rm["n_docs"] / rm["seconds"]
+    # HEADLINE efficiency: min time per level across all samples. Host
+    # interference is one-sided — the shared hypervisor can steal cycles
+    # but never add them — so the min of repeated runs is each level's
+    # closest-to-uncontended estimate, and their ratio is the drift-robust
+    # scaling figure (a single A/B pair spans ~10 minutes of host state
+    # and has been observed anywhere from 0.74 to a physically-impossible
+    # 1.02 on an identical binary). Median pair kept for transparency.
+    best_n = min(p[0]["seconds"] for p in pairs)
+    best_m = min(p[1]["seconds"] for p in pairs)
+    rn = min((p[0] for p in pairs), key=lambda r: r["seconds"])
+    rm = min((p[1] for p in pairs), key=lambda r: r["seconds"])
+    thr_n = rn["n_docs"] / best_n
+    thr_m = rm["n_docs"] / best_m
     eff = (thr_m / thr_n) / 4.0
+    ordered = sorted(pairs, key=pair_eff)
+    eff_median = pair_eff(ordered[len(ordered) // 2])
 
     r32 = run_worker(f"local[{CPUS}]", CPUS, fx, warm)
     thr32 = r32["n_docs"] / r32["seconds"]
@@ -162,6 +179,7 @@ def main() -> None:
                                           / r32["seconds"], 1),
         "scaling_levels": [n, n4],
         f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
+        "scaling_efficiency_median_pair": round(eff_median, 3),
         "scaling_pairs_raw": [
             {f"sec_local{n}": p[0]["seconds"],
              f"sec_local{n4}": p[1]["seconds"]} for p in pairs],

@@ -535,6 +535,62 @@ def gen_wikidata_dump(out_dir: str, world: dict) -> None:
         f.write("]\n")
 
 
+def gen_bpe(out_dir: str, world: dict, n_docs: int) -> None:
+    """E2 fixture: a small text corpus, a BPE merges artifact trained on
+    it, and a token golden computed by the INDEPENDENT rank-order-replay
+    encoder (`bpe.encode_word_rank_replay`) with its own offset
+    arithmetic — the Spark UDF (greedy min-rank loop) is checked against
+    it by the `bpe_tokens` oracle."""
+    import os
+
+    from ..operators import bpe
+
+    ents = world["uni"]["entities"]
+    texts = []
+    for i in range(n_docs):
+        e = ents[i % len(ents)]
+        e2 = ents[(i * 7 + 3) % len(ents)]
+        desc = e["description"] or "an entity"
+        texts.append(
+            f"{e['label']} isn't just {desc}; it's linked to {e2['label']}"
+            f" since {1900 + i % 120} — cost ${i * 13 % 997}.50,"
+            f" naïve café rôle №{i}."
+        )
+    merges = bpe.train_bpe(texts, 240)
+    bpe.save_merges(os.path.join(out_dir, "bpe_merges.parquet"), merges)
+
+    rows = [dict(doc_id=f"bpe{i:04d}", text=t) for i, t in enumerate(texts)]
+    _write(os.path.join(out_dir, "bpe_docs.parquet"), rows, pa.schema([
+        ("doc_id", pa.string()), ("text", pa.string()),
+    ]))
+
+    ids = bpe.piece_ids(merges)
+    exp = []
+    for r in rows:
+        pos = 0
+        for raw, s, _ in bpe.pretokenize(r["text"]):
+            # independent offset arithmetic: walk the pre-token's chars,
+            # assigning each piece the chars whose byte span it overlaps
+            pieces = bpe.encode_word_rank_replay(bpe.map_word(raw), merges)
+            byte_char = [ci for ci, ch in enumerate(raw)
+                         for _ in ch.encode("utf-8")]
+            b = 0
+            for piece in pieces:
+                covered = byte_char[b:b + len(piece)]
+                exp.append(dict(doc_id=r["doc_id"], pos=pos, piece=piece,
+                                token_id=ids[piece],
+                                start=s + covered[0],
+                                end=s + covered[-1] + 1))
+                b += len(piece)
+                pos += 1
+    _write(os.path.join(out_dir, "expected_bpe_tokens.parquet"), exp,
+           pa.schema([
+               ("doc_id", pa.string()), ("pos", pa.int32()),
+               ("piece", pa.string()), ("token_id", pa.int32()),
+               ("start", pa.int32()), ("end", pa.int32()),
+           ]))
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -546,3 +602,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_messy_spans(out_dir, world, {"t1": 30}.get(tier, 150))
     gen_bio_tags(out_dir, world, {"t1": 30}.get(tier, 150))
     gen_wikidata_dump(out_dir, world)
+    gen_bpe(out_dir, world, {"t1": 24}.get(tier, 120))

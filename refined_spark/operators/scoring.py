@@ -215,7 +215,15 @@ def pair_feature_table(pairs: DataFrame, entity: DataFrame,
     score_candidates docstring for why this dedup is the scale move)."""
     ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
     emb = entity_emb.select("qcode_idx", "desc_emb")
-    ctx_embs = ctx_words.withColumn("ctx_emb", _embed_udf(F.col("ctx_word")))
+    # The distinct ctx-word table is bytes-tiny but CPU-heavy (one Python
+    # embed call per word). AQE coalesces its exchange by SIZE down to one
+    # partition, serializing the whole vocabulary's UDF work into a
+    # single 25s task (observed in the bench stage log). Explicit
+    # numPartitions pins the exchange at core width — AQE leaves
+    # user-specified repartitions alone.
+    par = ctx_words.sparkSession.sparkContext.defaultParallelism
+    ctx_embs = ctx_words.repartition(par).withColumn(
+        "ctx_emb", _embed_udf(F.col("ctx_word")))
     feats = (
         pairs
         .join(ent_dim, "qcode", "left")
@@ -320,10 +328,17 @@ def feature_map_by_ctx(pairs: DataFrame, entity: DataFrame,
                  .where(F.col("ctx_word").isNotNull()).distinct())
     feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
                                ctx_words)
-    return feats.groupBy(
-        F.coalesce("ctx_word", F.lit(_CTX_NULL_KEY)).alias("ctx_key")
-    ).agg(F.map_from_entries(F.collect_list(F.struct(
-        "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap"))
+    # same size-vs-CPU mismatch as the embed build: the map-assembly agg
+    # is small in bytes, so AQE coalesces it to one task; pin the
+    # exchange at core width by repartitioning on the grouping key (the
+    # agg then reuses this partitioning — no extra exchange)
+    par = feats.sparkSession.sparkContext.defaultParallelism
+    return (feats.withColumn(
+        "ctx_key", F.coalesce("ctx_word", F.lit(_CTX_NULL_KEY)))
+        .repartition(par, "ctx_key")
+        .groupBy("ctx_key")
+        .agg(F.map_from_entries(F.collect_list(F.struct(
+            "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap")))
 
 
 def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,

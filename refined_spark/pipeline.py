@@ -174,6 +174,17 @@ def run_pipeline(
     # full mentions cache for a vocabulary-sized result. This is the
     # ONLY doc-scale pass outside the main pipeline action.
     surf_ctx = mentions.select("norm_sf", "ctx_word").distinct().persist()
+    # ORDERED materialization barriers. The broadcast builds (feature
+    # map, pair logits, coref word table) and the main action all
+    # traverse these caches from separate concurrently-submitted jobs;
+    # a lazily-persisted frame dedups work only across SEQUENTIAL reads,
+    # so every concurrent first reader recomputes the full upstream —
+    # the bench stage log showed the extraction+MD map stage running 4x
+    # side by side. One count per cache, in dependency order, makes each
+    # doc-scale pass happen exactly once. Cluster equivalent: the
+    # checkpointed stage tables (checkpoint.py).
+    mentions.count()
+    surf_ctx.count()
     # feature domain from surf_ctx (not cand_arr), so the candidate
     # subtree is consumed exactly once per action and never needs
     # caching; zero doc-scale shuffles (see observed_pairs docstring)
@@ -184,7 +195,11 @@ def run_pipeline(
     # Zipf dedup of the scoring math: logits once per DISTINCT
     # (surface, ctx) pair, broadcast back; per-mention evaluation only
     # for coref receivers (mention-specific candidate arrays)
-    pair_frame = pair_candidate_arrays(surf_ctx, pem_arrays)
+    # the pair table is bytes-tiny but its logits projection is the
+    # heaviest per-row JVM math in the job, so AQE's size-based
+    # coalescing would serialize it onto one task; pin at core width
+    pair_frame = pair_candidate_arrays(surf_ctx, pem_arrays).repartition(
+        spark.sparkContext.defaultParallelism)
     pair_logits = with_candidate_logits(
         pair_frame, t["entity"], t["entity_emb"], t["topic_class"],
         weights, feature_map=fmap)
@@ -195,6 +210,10 @@ def run_pipeline(
         F.col("qcode").isNotNull())
     scored = explode_scored_arrays(with_logits)
     links = links_from_logits(with_logits).persist()
+    # same barrier: cluster_mentions joins two subtrees (members x
+    # cluster ids) that BOTH read links — cold, they'd recompute the
+    # scoring pass twice in concurrent stages
+    links.count()
     clusters = cluster_mentions(links)
 
     def unpersist() -> None:

@@ -1,0 +1,96 @@
+"""E2 byte-level BPE: hand-computed goldens, offset contract (incl.
+multi-byte chars), greedy-vs-rank-replay equivalence, Spark UDF parity.
+"""
+
+import pytest
+
+from refined_spark.operators.bpe import (
+    byte_to_unicode,
+    encode_text,
+    encode_word,
+    encode_word_rank_replay,
+    map_word,
+    piece_ids,
+    pretokenize,
+    train_bpe,
+)
+
+
+def test_pretokenize_gpt2_shapes():
+    toks = [t for t, _, _ in pretokenize("He isn't here, it's 1987!")]
+    # contractions split off; leading space glued to the next word
+    assert toks == ["He", " isn", "'t", " here", ",", " it", "'s",
+                    " 1987", "!"]
+
+
+def test_pretokenize_offsets_cover_text():
+    text = "a  b\tc\n"
+    spans = pretokenize(text)
+    assert "".join(t for t, _, _ in spans) == text
+    assert all(text[s:e] == t for t, s, e in spans)
+
+
+def test_byte_alphabet_reversible():
+    b2u = byte_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+
+
+def test_train_and_encode_tiny():
+    # corpus where ("l","o") is the most frequent pair
+    merges = train_bpe(["lo lo lo low lower"], 2)
+    assert merges[0] == ("l", "o")
+    ranks = {p: k for k, p in enumerate(merges)}
+    assert encode_word(map_word("lo"), ranks) == ["lo"]
+
+
+def test_greedy_equals_rank_replay():
+    texts = ["the cat sat on the mat", "the catalog, the category",
+             "caté naïve — №9 isn't low"]
+    merges = train_bpe(texts, 60)
+    ranks = {p: k for k, p in enumerate(merges)}
+    for t in texts:
+        for raw, _, _ in pretokenize(t):
+            m = map_word(raw)
+            assert encode_word(m, ranks) == \
+                encode_word_rank_replay(m, merges)
+
+
+def test_encode_text_offsets_multibyte():
+    merges = train_bpe(["naïve naïve naïve"], 0)  # no merges: byte tokens
+    ranks = {p: k for k, p in enumerate(merges)}
+    toks = encode_text("naïve", ranks, piece_ids(merges))
+    # 'ï' is 2 UTF-8 bytes -> two byte tokens, both snapping to the same
+    # enclosing char [2,3)
+    spans = [(s, e) for _, _, s, e in toks]
+    assert len(toks) == 6
+    assert spans == [(0, 1), (1, 2), (2, 3), (2, 3), (3, 4), (4, 5)]
+    # ids: merged none, so every id < 256 and round-trips to the byte
+    assert all(i < 256 for _, i, _, _ in toks)
+
+
+def test_token_ids_engine_contract():
+    merges = train_bpe(["ab ab ab"], 1)
+    ids = piece_ids(merges)
+    assert ids["ab"] == 256  # first merge
+    assert ids["a"] == ord("a") and ids["b"] == ord("b")
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_udf_matches_sequential(spark, tmp_path):
+    from refined_spark.operators.bpe import save_merges, with_bpe_tokens
+
+    texts = ["Paris isn't small — №1 café!", "low lower lowest 42",
+             "", "the the the"]
+    merges = train_bpe(texts, 40)
+    path = str(tmp_path / "merges.parquet")
+    save_merges(path, merges)
+    ranks = {p: k for k, p in enumerate(merges)}
+    ids = piece_ids(merges)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = {r.doc_id: [(t.piece, t.token_id, t.start, t.end)
+                      for t in r.tokens]
+           for r in with_bpe_tokens(df, path).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == encode_text(t, ranks, ids), t

@@ -25,7 +25,10 @@ def main() -> None:
     spark = get_spark(f"diag_{master}", master=master,
                       shuffle_partitions=int(parts),
                       extra_conf={"spark.eventLog.enabled": "true",
-                                  "spark.eventLog.dir": evdir})
+                                  "spark.eventLog.dir": evdir,
+                                  "spark.eventLog.compress": "false",
+                                  "spark.eventLog.rolling.enabled":
+                                      "false"})
     try:
         run_pipeline(spark, warmup_dir, mode="e2e")["clusters"].count()
         t0_ms = time.time() * 1000
@@ -48,7 +51,8 @@ def main() -> None:
         else:
             paths.append(root)
     for path in paths:
-        with open(path) as f:
+        # rolling dirs may hold zstd-compressed segments / status files
+        with open(path, errors="replace") as f:
             for line in f:
                 try:
                     ev = json.loads(line)
