@@ -568,7 +568,12 @@ def q_block_sizes(spark, sf):
 def _docs_with_copies(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    return d.unionByName(copies)
+    # the driver's testdata parquet is ONE file with ONE row group, so the
+    # scan is a single task — which serializes the Python shingle/MinHash
+    # UDF downstream. Real corpora arrive in thousands of splits; the
+    # repartition restores that shape locally (tiny table, trivial cost).
+    return d.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def q_dedup_exact(spark, sf):
@@ -686,6 +691,35 @@ def q_ann_lsh(spark, sf):
     dim = len(emb.select("embedding").first()["embedding"])
     return ann_topk_lsh(emb, k=3, dim=dim).select(
         "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
+
+
+def q_ann_banded(spark, sf):
+    """Band-OR amplified hyperplane ANN (multi-probe scale path): 32-bit
+    signature, 8 bands of 4 bits, candidate = any-band agreement, exact
+    re-score. Value-oracled like ann_lsh (plane literals replayed)."""
+    from refined_spark.operators.similarity import ann_topk_banded
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_topk_banded(emb, k=3, dim=dim, bits=32, n_bands=8).select(
+        "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
+
+
+def q_ann_recall(spark, sf):
+    """recall@3 of the banded ANN against the exact all-pairs top-3 —
+    the measurement the LSH parameters are tuned against. Both sides and
+    the ratio are recomputed independently by the DuckDB oracle."""
+    from refined_spark.operators.similarity import (
+        ann_recall_at_k,
+        ann_topk_banded,
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    approx = ann_topk_banded(emb, k=3, dim=dim, bits=32, n_bands=8)
+    exact = cosine_topk(emb, emb, k=3)
+    return ann_recall_at_k(approx, exact)
 
 
 def q_media_features(spark, sf):
@@ -811,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_banded": q_ann_banded,
+        "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "type_prune": q_type_prune,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1112,6 +1148,59 @@ def _ann_lsh_oracle_sql(bits: int = 12, dim: int = 64, k: int = 3) -> str:
                     order by cos desc, nid) as int) as nn_rank
         from scored qualify nn_rank <= {k}
         order by query_id, nn_rank
+    """
+
+
+def _ann_banded_ctes(bits: int = 32, n_bands: int = 8, dim: int = 64,
+                     k: int = 3) -> str:
+    """CTE block replaying the band-OR hyperplane ANN: plane literals
+    (numpy PCG64(7), same constants the Spark UDF builds), 32-bit
+    signature, per-band keys, any-band candidate pairs, exact re-score,
+    rank. Ends with an `approx(query_id, neighbor_id, nn_rank)` CTE."""
+    import numpy as np
+
+    r = bits // n_bands
+    mask = (1 << r) - 1
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.standard_normal((bits, dim))
+    lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in planes) + "]"
+    return f"""
+        p as (select {lit} as planes),
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        sigs as (
+          select vec_id, v, sqrt(list_inner_product(v, v)) as nrm,
+                 list_sum(list_transform(generate_series(0, {bits - 1}),
+                   i -> case when list_inner_product(v, planes[i+1]) > 0
+                        then (1::BIGINT << i) else 0::BIGINT end))::BIGINT
+                   as bucket
+          from e, p
+        ),
+        bands as (
+          select vec_id, j as band_idx,
+                 (bucket >> (j * {r})) & {mask} as band_key
+          from sigs, unnest(generate_series(0, {n_bands - 1})) as t(j)
+        ),
+        cand as (
+          select distinct a.vec_id qid, b.vec_id nid
+          from bands a join bands b
+            on a.band_idx = b.band_idx and a.band_key = b.band_key
+               and a.vec_id <> b.vec_id
+        ),
+        rescored as (
+          select qid, nid,
+                 list_inner_product(x.v, y.v)
+                   / greatest(x.nrm * y.nrm, 1e-12) as cos
+          from cand join sigs x on x.vec_id = qid
+                    join sigs y on y.vec_id = nid
+        ),
+        approx as (
+          select qid as query_id, nid as neighbor_id,
+                 cast(row_number() over (partition by qid
+                      order by cos desc, nid) as int) as nn_rank
+          from rescored qualify nn_rank <= {k}
+        )
     """
 
 
@@ -1943,6 +2032,34 @@ def oracle_sql() -> dict[str, str]:
             order by url, start
         """,
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_banded": f"""
+            with {_ann_banded_ctes()}
+            select query_id, neighbor_id, nn_rank from approx
+            order by query_id, nn_rank
+        """,
+        "ann_recall": f"""
+            with {_ann_banded_ctes()},
+            exact as (
+              select a.vec_id qid, b.vec_id nid,
+                     cast(row_number() over (partition by a.vec_id
+                          order by list_inner_product(a.v, b.v)
+                            / greatest(a.nrm * b.nrm, 1e-12) desc,
+                            b.vec_id) as int) as rk
+              from sigs a join sigs b on a.vec_id <> b.vec_id
+              qualify rk <= 3
+            ),
+            hits as (
+              select count(*) as n_hit
+              from approx x
+              where exists (select 1 from exact e
+                            where e.qid = x.query_id
+                              and e.nid = x.neighbor_id)
+            ),
+            tot as (select count(*) as n_exact from exact)
+            select n_hit, n_exact,
+                   n_hit::DOUBLE / n_exact as recall_at_k
+            from hits, tot
+        """,
         # A9 with pair edges: DuckDB recomputes the transitive clusters
         # independently — anchor contraction (mention -> entity if linked),
         # reachability closure over the contracted graph (recursive CTE;

@@ -78,22 +78,101 @@ def hyperplane_signatures(df: DataFrame, dim: int, bits: int = 16,
     """b-bit random-hyperplane signature per vector (seeded, Arrow-batched)."""
     rng = np.random.Generator(np.random.PCG64(7))
     planes = rng.standard_normal((bits, dim)).astype(np.float64)
+    weights = (1 << np.arange(bits, dtype=np.int64))
 
     @pandas_udf(LongType())
     def sig_udf(vecs: pd.Series) -> pd.Series:
-        def one(v):
-            x = np.asarray(v, dtype=np.float64)
-            bitsv = (planes @ x) > 0
-            out = 0
-            for i, b in enumerate(bitsv):
-                if b:
-                    out |= 1 << i
-            return out
-
-        return vecs.map(one)
+        # one BLAS matmul per Arrow batch: (n, dim) @ (dim, bits) sign
+        # matrix, bits packed with a single int64 dot — no per-row Python
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0
+        return pd.Series(signs.astype(np.int64) @ weights)
 
     return df.select(F.col(id_col).alias("id"),
                      sig_udf(F.col(vec_col)).alias("bucket"))
+
+
+def ann_topk_banded(corpus: DataFrame, k: int, dim: int, bits: int = 16,
+                    n_bands: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Band-OR amplified hyperplane ANN (the multi-probe scale path).
+
+    The b-bit signature splits into ``n_bands`` bands of r = b/n_bands
+    bits; a pair is a candidate if it agrees on ANY band — the OR
+    amplification that turns single-bucket recall (p^b per neighbor,
+    vanishing for large b) into 1-(1-p^r)^n_bands, tunable independently
+    of precision. Tune (bits, n_bands) per corpus with the
+    ``ann_recall`` measurement: per-bit collision p = 1 - θ/π, so e.g.
+    the gaussian fixture (true-neighbor p ≈ 0.63, random-pair p ≈ 0.54 —
+    deliberately low contrast) gets recall ≈ 0.75 from 8 bands of 4
+    bits, while a real near-dup corpus (neighbor cosine ≥ 0.9, p ≥ 0.86)
+    wants wider bands (r 8-16) where random collisions vanish and
+    neighbor recall stays ≥ 0.95. Physical plan: explode to
+    (band_idx, band_key) rows —
+    n_bands small rows per vector, never the vector itself — self-join
+    per band, distinct pairs, then ONE exact re-score per surviving pair
+    (vectors re-attached by id). At 10^9 vectors each band join is
+    bucket-bounded exactly like MinHash-LSH dedup; no cross join exists
+    anywhere.
+    """
+    assert bits % n_bands == 0
+    r = bits // n_bands
+    mask = (1 << r) - 1
+    sigs = hyperplane_signatures(corpus, dim=dim, bits=bits,
+                                 id_col=id_col, vec_col=vec_col)
+    bands = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.shiftright("bucket", j * r).bitwiseAND(mask)
+                     .alias("band_key"))
+            for j in range(n_bands)])).alias("b"),
+    ).select("id", "b.band_idx", "b.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nid"))
+        .distinct()
+    )
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("vec")), "vec", "n")
+    scored = (
+        cand.join(c.select(F.col("id").alias("qid"),
+                           F.col("vec").alias("qvec"),
+                           F.col("n").alias("qn")), "qid")
+        .join(c.select(F.col("id").alias("nid"),
+                       F.col("vec").alias("nvec"),
+                       F.col("n").alias("nn")), "nid")
+        .select("qid", "nid",
+                (_dot(F.col("qvec"), F.col("nvec"))
+                 / F.greatest(F.col("qn") * F.col("nn"), F.lit(1e-12)))
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select(F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"), "cosine", "nn_rank")
+    )
+
+
+def ann_recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Single-row recall@k of an ANN result against the exact top-k:
+    |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs — the
+    measurement the LSH parameters (bits, bands) are tuned against."""
+    hit = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi")
+    return hit.agg(F.count(F.lit(1)).alias("n_hit")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    ).select(
+        "n_hit", "n_exact",
+        (F.col("n_hit").cast("double") / F.col("n_exact"))
+        .alias("recall_at_k"))
 
 
 def ann_topk_lsh(corpus: DataFrame, k: int, dim: int, bits: int = 12,

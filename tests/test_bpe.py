@@ -94,3 +94,29 @@ def test_spark_udf_matches_sequential(spark, tmp_path):
            for r in with_bpe_tokens(df, path).collect()}
     for i, t in enumerate(texts):
         assert got[i] == encode_text(t, ranks, ids), t
+
+
+def test_roundtrip_property():
+    """Pieces concatenate back to the mapped pre-tokens and offsets tile
+    the text, for arbitrary unicode inputs (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    merges = train_bpe(["the cat sat on the mat isn't low"], 30)
+    ranks = {p: k for k, p in enumerate(merges)}
+    ids = piece_ids(merges)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80))
+    def check(text):
+        toks = encode_text(text, ranks, ids)
+        # concatenated pieces = full mapped byte stream of all pre-tokens
+        assert "".join(t[0] for t in toks) == "".join(
+            map_word(raw) for raw, _, _ in pretokenize(text))
+        # offsets: within bounds, end > start
+        for _, _, s, e in toks:
+            assert 0 <= s < e <= len(text)
+        # ids round-trip through the vocab
+        assert all(t[1] in set(ids.values()) for t in toks)
+
+    check()

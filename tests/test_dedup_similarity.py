@@ -115,3 +115,53 @@ def test_cosine_topk_vs_numpy(spark):
         rows = sorted((r for r in got if r["query_id"] == q),
                       key=lambda r: r["nn_rank"])
         assert [r["neighbor_id"] for r in rows] == want
+
+
+def test_ann_banded_vs_numpy(spark):
+    from refined_spark.operators.similarity import (
+        ann_recall_at_k,
+        ann_topk_banded,
+        cosine_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id: long, embedding: array<float>")
+    got = ann_topk_banded(df, k=3, dim=8, bits=16, n_bands=4).collect()
+
+    # numpy replay: same seed-7 planes as hyperplane_signatures
+    planes = np.random.Generator(np.random.PCG64(7)).standard_normal(
+        (16, 8))
+    v = vecs.astype(np.float64)
+    sigs = (v @ planes.T) > 0
+    keys = [tuple(
+        int((sigs[i, 4 * j:4 * j + 4]
+             * (1 << np.arange(4))).sum()) for j in range(4))
+        for i in range(40)]
+    norms = np.linalg.norm(v, axis=1)
+    want = {}
+    for q in range(40):
+        cand = [n for n in range(40) if n != q
+                and any(keys[q][j] == keys[n][j] for j in range(4))]
+        cos = [(float(v[q] @ v[n] / max(norms[q] * norms[n], 1e-12)), n)
+               for n in cand]
+        cos.sort(key=lambda t: (-t[0], t[1]))
+        want[q] = [n for _, n in cos[:3]]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["nn_rank"], r["neighbor_id"]))
+    assert {q: [n for _, n in sorted(v_)] for q, v_ in by_q.items()} == \
+        {q: w for q, w in want.items() if w}
+
+    # recall@k: banded candidates are a superset of any single band, and
+    # the measurement query must agree with a direct set computation
+    exact = cosine_topk(df, df, k=3)
+    rec = ann_recall_at_k(
+        ann_topk_banded(df, k=3, dim=8, bits=16, n_bands=4),
+        exact).collect()[0]
+    assert rec["n_exact"] == 40 * 3
+    assert 0.0 <= rec["recall_at_k"] <= 1.0
+    assert rec["n_hit"] == round(rec["recall_at_k"] * rec["n_exact"])
