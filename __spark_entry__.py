@@ -658,6 +658,56 @@ def q_stream_window_counts(spark, sf):
     )
 
 
+def _stream_src(sf, name):
+    """Streaming file source needs a DIRECTORY; driver testdata are single
+    parquet files — symlink into a fresh tmp dir."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"rs_src_{name}_")
+    os.symlink(os.path.join(sf, f"{name}.parquet"),
+               os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def q_stream_dedup(spark, sf):
+    """REAL streaming execution (Trigger.AvailableNow) of the stateful
+    watermark-bounded exact dedup (dropDuplicatesWithinWatermark on the
+    content hash). Only the hash set is emitted, so the result is
+    deterministic and equals the batch distinct — the DuckDB oracle."""
+    from refined_spark.streaming.events import (
+        run_stream_to_batch,
+        streaming_dedup_first_seen,
+    )
+
+    batch = _t(spark, sf, "documents")
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .load(_stream_src(sf, "documents"))
+              # driver testdata has no event-time column; derive a
+              # deterministic one (the dedup output doesn't project it)
+              .withColumn("_evt", F.timestamp_seconds(
+                  F.lit(1_700_000_000) + F.col("doc_id"))))
+    out = run_stream_to_batch(
+        streaming_dedup_first_seen(stream, ts_col="_evt"))
+    return out.orderBy("content_hash")
+
+
+def q_stream_totals(spark, sf):
+    """REAL streaming execution of the applyInPandasWithState running
+    totals (custom stateful operator: per-event_type (count, sum) carried
+    in GroupState). Final emission over the finite input equals the batch
+    group-by — the DuckDB oracle."""
+    from refined_spark.streaming.events import (
+        run_stream_to_batch,
+        running_type_totals,
+    )
+
+    batch = _t(spark, sf, "events")
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .load(_stream_src(sf, "events")))
+    out = run_stream_to_batch(running_type_totals(stream), mode="update")
+    return out.orderBy("event_type")
+
+
 def q_simhash(spark, sf):
     """64-bit SimHash as two 32-bit halves — JVM codegen in Spark,
     bit-reproduced by DuckDB md5 + bit math (real value oracle)."""
@@ -842,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "stream_window_counts": q_stream_window_counts,
+        "stream_dedup": q_stream_dedup,
+        "stream_totals": q_stream_totals,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
@@ -1643,6 +1695,15 @@ def oracle_sql() -> dict[str, str]:
             select date_trunc('hour', ts) as ts_hour, event_type,
                    count(*) as n_events, round(sum(value), 4) as value_sum
             from events group by 1, 2 order by 1, 2
+        """,
+        "stream_dedup": """
+            select distinct md5(text) as content_hash
+            from documents order by content_hash
+        """,
+        "stream_totals": """
+            select event_type, count(*) as n_events,
+                   round(sum(value), 4) as value_sum
+            from events group by event_type order by event_type
         """,
         "media_features": f"""
             select media_id, kind, feat_json, feat_dim, decode_ok

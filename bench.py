@@ -74,6 +74,10 @@ def run_headline_queries() -> dict[str, float]:
     spark = get_spark("bench_queries", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     try:
+        # session warmup (JVM JIT, python workers, parquet footer cache)
+        # so the first query's number measures the query, not startup
+        qs["lineitem_agg"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
         for name in names:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)

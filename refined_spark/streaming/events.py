@@ -41,6 +41,83 @@ def windowed_event_counts(events: DataFrame,
     )
 
 
+def streaming_dedup_first_seen(docs: DataFrame,
+                               text_col: str = "text",
+                               ts_col: str = "warc_ts",
+                               watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming exact-dedup: keep the first-arrived row per
+    content hash, with state EVICTION bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — without the watermark bound the
+    dedup state grows with the full stream history, which is the thing
+    that kills a 100 TB continuous ingest). Only the content hash is
+    projected downstream, so the emitted set is deterministic even
+    though which duplicate row arrives first is not."""
+    src = docs.withColumn("content_hash",
+                          F.md5(F.col(text_col).cast("binary"))) \
+              .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    if docs.isStreaming:
+        src = (src.withWatermark("_ts", watermark)
+               .dropDuplicatesWithinWatermark(["content_hash"]))
+    else:
+        src = src.dropDuplicates(["content_hash"])
+    return src.select("content_hash")
+
+
+RUNNING_TOTALS_SCHEMA = ("event_type string, n_events long, "
+                         "value_sum double")
+_RUNNING_STATE_SCHEMA = "n long, s double"
+
+
+def running_type_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type running (count, sum) totals carried in GroupState across
+    micro-batches, re-emitted on every update — the pattern for custom
+    incremental aggregates Spark's built-ins don't cover (the reference's
+    closest analog is the API's per-job progress accumulator,
+    api/app/services/job_service.py). Totals are order-insensitive, so
+    the final emission is deterministic for a finite input regardless of
+    batch boundaries."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                            "value_sum": [round(s, 4)]})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn, RUNNING_TOTALS_SCHEMA, _RUNNING_STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout)
+
+
+def run_stream_to_batch(stream_df: DataFrame, mode: str = "append",
+                        timeout: int = 180) -> DataFrame:
+    """Execute a finite streaming plan (Trigger.AvailableNow) into a temp
+    parquet sink and return the result as a batch DataFrame — the
+    harness that lets streaming operators sit behind the same
+    batch-comparing oracle gate as everything else. ``foreachBatch``
+    rather than the file sink so update-mode stateful operators
+    (applyInPandasWithState) are writable too; with update mode the
+    caller must ensure per-key final emissions are the ones compared
+    (finite single-batch input, or a downstream keep-last)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="rs_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="rs_stream_ckpt_")
+    q = (stream_df.writeStream
+         .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+         .option("checkpointLocation", ckpt)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout)
+    return stream_df.sparkSession.read.parquet(out)
+
+
 def streaming_mentions(spark, documents_path: str, match_keys: list[str],
                        schema) -> DataFrame:
     """Incremental mention detection over a parquet-file stream of

@@ -76,3 +76,57 @@ def test_streaming_mentions_incremental(spark, fx_t1, tmp_path_factory):
     want = {(r["url"], r["start"], r["length"])
             for r in gold.where("dict_matchable").collect()}
     assert got == want
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path_factory):
+    from refined_spark.streaming.events import (
+        run_stream_to_batch,
+        streaming_dedup_first_seen,
+    )
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    rows = [(i, f"text {i % 7}", "2026-01-01 00:%02d:00" % (i % 60))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(
+        spark.read.parquet(src).schema).format("parquet").load(src))
+    out = run_stream_to_batch(streaming_dedup_first_seen(stream))
+    got = sorted(r["content_hash"] for r in out.collect())
+    want = sorted(r["h"] for r in spark.read.parquet(src)
+                  .select(F.md5(F.col("text").cast("binary")).alias("h"))
+                  .distinct().collect())
+    assert got == want and len(got) == 7
+
+
+def test_running_totals_state_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState: totals must accumulate across MICRO-BATCHES
+    (one file per trigger), not just within one."""
+    from refined_spark.streaming.events import (
+        run_stream_to_batch,
+        running_type_totals,
+    )
+
+    src = str(tmp_path_factory.mktemp("totals_src"))
+    df = spark.createDataFrame(
+        [(f"e{i % 3}", float(i)) for i in range(60)],
+        "event_type string, value double")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema).format("parquet")
+              .option("maxFilesPerTrigger", "1").load(src))
+    out = run_stream_to_batch(running_type_totals(stream), mode="update")
+    # update mode appends one emission per key per batch; the final state
+    # is the row with the max n_events per key
+    final = {r["event_type"]: (r["n_events"], r["value_sum"])
+             for r in out.orderBy("n_events").collect()}
+    want = {r["event_type"]: (r["n"], round(r["s"], 4))
+            for r in df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()}
+    assert final == want
+    # and state really spanned batches: more emissions than keys
+    assert out.count() > len(want)
