@@ -127,6 +127,45 @@ def hot_keys(df: DataFrame, key_col: str,
     )
 
 
+def salted_array_join(mentions: DataFrame, pem_arrays: DataFrame,
+                      hot: DataFrame,
+                      buckets: int = config.SKEW_SALT_BUCKETS
+                      ) -> DataFrame:
+    """Skew-salted shuffle join for the ARRAY-shaped pem (one alias-array
+    row per surface) — the escape hatch when the alias table outgrows
+    broadcast range. Same replicate-dim/salt-fact pattern as
+    :func:`salted_candidate_join`: hot surfaces replicate their (single)
+    array row ``buckets`` ways, each mention picks a deterministic salt,
+    so no reduce task receives more than 1/buckets of a hot key's
+    mentions. mentions must carry (norm_sf, mention_key); returns
+    mentions + pem_arr (left join shape)."""
+    hot_b = F.broadcast(hot.withColumnRenamed(hot.columns[0], "hk")
+                        .withColumn("is_hot", F.lit(True)))
+    m = (
+        mentions.join(hot_b, mentions.norm_sf == hot_b.hk, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("is_hot"),
+                   F.pmod(F.xxhash64("mention_key"), F.lit(buckets))
+                   .cast("int"))
+            .otherwise(F.lit(0)))
+        .drop("hk", "is_hot")
+    )
+    salts = F.explode(
+        F.when(F.col("is_hot"),
+               F.sequence(F.lit(0), F.lit(buckets - 1)))
+        .otherwise(F.array(F.lit(0)))).alias("_salt")
+    p = (
+        pem_arrays.join(hot_b, pem_arrays.surface_form == hot_b.hk, "left")
+        .select("surface_form", "pem_arr", salts)
+    )
+    return (
+        m.join(p, (m.norm_sf == p.surface_form)
+               & (m["_salt"] == p["_salt"]), "left")
+        .drop("surface_form", "_salt")
+    )
+
+
 def salted_candidate_join(mentions: DataFrame, pem: DataFrame,
                           hot: DataFrame,
                           buckets: int = config.SKEW_SALT_BUCKETS

@@ -381,11 +381,27 @@ def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
       multi-word mentions, exploded per word.
     The row-per-candidate formulation this replaces shuffled every
     candidate of every mention twice (dedup agg + link agg)."""
-    src = F.broadcast(pem_arrays) if broadcast_pem else pem_arrays
     m = mentions.select("url", "start", "norm_sf", "ctx_word",
                         "mention_key")
-    direct = m.join(src, m.norm_sf == pem_arrays.surface_form,
-                    "left").drop("surface_form")
+    if broadcast_pem:
+        src = F.broadcast(pem_arrays)
+
+        def attach(df):
+            return df.join(src, df.norm_sf == pem_arrays.surface_form,
+                           "left").drop("surface_form")
+    else:
+        # alias table beyond broadcast range: skew-salted shuffle join
+        # (mention surfaces are Zipfian — an unsalted shuffle join sends
+        # every "john" mention to one reduce task). One cheap count
+        # pre-pass finds the hot surfaces; both attach sites share it.
+        from .blocking import hot_keys, salted_array_join
+
+        hot = hot_keys(m, "norm_sf")
+
+        def attach(df):
+            return salted_array_join(df, pem_arrays, hot)
+
+    direct = attach(m)
 
     minp = config.PERSON_COREF_PEM_MIN
     cap = config.PERSON_COREF_PEM_CAP
@@ -418,9 +434,7 @@ def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
         F.first("ctx_word").alias("ctx_word"),
         F.max_by("shorts", "start_reg").alias("coref_arr"),
     )
-    single_full = latest.join(
-        src, latest.norm_sf == pem_arrays.surface_form, "left"
-    ).drop("surface_form").select(
+    single_full = attach(latest).select(
         "mention_key", "norm_sf", "ctx_word", "pem_arr", "coref_arr")
 
     multi = direct.where(F.col("norm_sf").contains(" ")).select(

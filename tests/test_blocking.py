@@ -51,3 +51,30 @@ def test_hot_key_census_and_salted_join(spark, fx_t1):
     got = {(r["mention_key"], r["qcode"]) for r in salted.collect()}
     want = {(r["mention_key"], r["qcode"]) for r in plain.collect()}
     assert got == want  # salting never changes join semantics
+
+
+def test_salted_array_join_with_forced_hot_key(spark):
+    """salted_array_join with an explicitly hot surface must equal the
+    plain join — every salt bucket must find its replicated array row."""
+    import pyspark.sql.functions as F
+
+    from refined_spark.operators.blocking import salted_array_join
+
+    mentions = spark.createDataFrame(
+        [(f"u{i}|{i:08d}", "john" if i % 3 else "mary", "ctx")
+         for i in range(60)],
+        "mention_key string, norm_sf string, ctx_word string")
+    pem_arrays = spark.createDataFrame(
+        [("john", [(1, "Q1", 0.9, True)]), ("mary", [(1, "Q2", 0.8, True)])],
+        "surface_form string, pem_arr array<struct<rank:int,qcode:string,"
+        "prob:double,is_human:boolean>>")
+    hot = spark.createDataFrame([("john",)], "norm_sf string")
+
+    got = {(r["mention_key"], tuple(r["pem_arr"][0]))
+           for r in salted_array_join(mentions, pem_arrays, hot,
+                                      buckets=4).collect()}
+    want = {(r["mention_key"], tuple(r["pem_arr"][0]))
+            for r in mentions.join(
+                pem_arrays,
+                mentions.norm_sf == pem_arrays.surface_form).collect()}
+    assert got == want and len(got) == 60

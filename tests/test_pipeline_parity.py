@@ -158,3 +158,31 @@ def test_array_path_equals_row_path(spark, fx_t2):
     da = dict((x[0], x[2]) for x in la)
     for k, v in ((x[0], x[2]) for x in lr):
         assert abs(da[k] - v) < 1e-6, k
+
+
+def test_salted_nonbroadcast_equals_broadcast(spark, fx_t2):
+    """broadcast_pem=False routes the alias-array attach through the
+    skew-salted shuffle join (blocking.salted_array_join); the result
+    must be row-identical to the broadcast plan."""
+    from refined_spark.operators.candidates import (
+        explode_candidate_arrays,
+        mention_candidate_arrays,
+        pem_surface_arrays,
+    )
+    from refined_spark.operators.extract import extracted_text_col
+    from refined_spark.operators.mentions import detect_mention_rows
+    from refined_spark.pipeline import load_tables, match_dictionary
+
+    t = load_tables(spark, fx_t2)
+    docs = t["documents"].withColumn("text", extracted_text_col("html"))
+    mentions = detect_mention_rows(
+        spark, docs, match_dictionary(t["pem"], t["entity"])).cache()
+    pa = pem_surface_arrays(t["pem"], t["entity"])
+    cols = ["mention_key", "qcode", "prob", "cand_source", "cand_rank"]
+    a = {tuple(r) for r in explode_candidate_arrays(
+        mention_candidate_arrays(mentions, pa, broadcast_pem=True))
+        .where("qcode is not null").select(cols).collect()}
+    b = {tuple(r) for r in explode_candidate_arrays(
+        mention_candidate_arrays(mentions, pa, broadcast_pem=False))
+        .where("qcode is not null").select(cols).collect()}
+    assert a == b and a
