@@ -500,7 +500,14 @@ def q_bpe_tokens(spark, sf):
     toks = with_bpe_tokens(
         docs, os.path.join(fx, "bpe_merges.parquet"))
     t = F.col("t")
-    return (toks.select("doc_id", F.posexplode("tokens").alias("pos", "t"))
+    # posexplode_outer + null filter, NOT posexplode: Catalyst's
+    # infer-filters-from-generate rewrite for the non-outer variant
+    # evaluates size(enc(text)) in a SEPARATE pre-filter ArrowEvalPython
+    # — tokenizing every document twice. The outer generate gets no
+    # inferred input filter; the null check runs on its output.
+    return (toks.select("doc_id",
+                        F.posexplode_outer("tokens").alias("pos", "t"))
+            .where(t.isNotNull())
             .select("doc_id", F.col("pos").cast("int").alias("pos"),
                     t.piece.alias("piece"), t.token_id.alias("token_id"),
                     t.start.alias("start"), t.end.alias("end"))
