@@ -221,6 +221,12 @@ def lsh_candidate_pairs(signatures: DataFrame,
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"),
              F.col("bk.bucket").alias("bucket"))
+    # persist: the band frame feeds BOTH sides of the self-join, and a
+    # broadcast-hash plan computes each side independently (no exchange
+    # to reuse) — without this the Python MinHash UDF upstream runs
+    # twice. Rows are (id, 2 longs): cache stays signature-sized even at
+    # 10^9 docs (a cluster job would checkpoint this as a stage table).
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -118,6 +118,9 @@ def ann_topk_banded(corpus: DataFrame, k: int, dim: int, bits: int = 16,
     assert bits % n_bands == 0
     r = bits // n_bands
     mask = (1 << r) - 1
+    # persist: bands feeds both self-join sides and c both re-attach
+    # joins; without it the signature UDF re-executes per consumer
+    # (broadcast-hash sides share no exchange)
     sigs = hyperplane_signatures(corpus, dim=dim, bits=bits,
                                  id_col=id_col, vec_col=vec_col)
     bands = sigs.select(
@@ -127,7 +130,7 @@ def ann_topk_banded(corpus: DataFrame, k: int, dim: int, bits: int = 16,
                      F.shiftright("bucket", j * r).bitwiseAND(mask)
                      .alias("band_key"))
             for j in range(n_bands)])).alias("b"),
-    ).select("id", "b.band_idx", "b.band_key")
+    ).select("id", "b.band_idx", "b.band_key").persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -183,8 +186,11 @@ def ann_topk_lsh(corpus: DataFrame, k: int, dim: int, bits: int = 12,
     Returns (query_id, neighbor_id, cosine, nn_rank) with nn_rank <= k,
     computed only within LSH buckets (recall < 1 by design; the exactness
     baseline is :func:`cosine_topk`)."""
+    # persist the (id, bucket) signatures: both self-join sides consume
+    # them and broadcast-hash sides share no exchange — unpersisted, the
+    # signature UDF runs once per side
     sigs = hyperplane_signatures(corpus, dim=dim, bits=bits,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col).persist()
     c = with_norm(
         corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("vec")), "vec", "n"
