@@ -1,0 +1,104 @@
+"""User-facing facade — the reference's ``Refined`` surface, corpus-first.
+
+The reference's entry point is ``Refined.from_pretrained(...)`` +
+``process_text(text[, spans]) -> List[Span]`` /
+``process_text_batch(texts)`` (ref src/refined/inference/
+processor.py:110-208). A user switching to this engine gets the same
+surface with the unit of work raised from a text to a CORPUS:
+
+    ref = RefinedSpark(spark, resource_dir)       # pem/entity/... tables
+    spans_df = ref.process_documents(docs_df)     # e2e MD + EL
+    spans_df = ref.process_documents(docs_df, spans_df=my_spans)  # EL only
+    spans    = ref.process_text("England won the cup")  # 1-doc sugar
+
+``resource_dir`` holds the engine's resource tables (pem, entity,
+entity_emb, topic_class, ed_weights, class_edges — the analog of the
+reference's downloaded data_dir). The output is one row per span:
+
+    (url, start, length, mention_text, pred_qcode, confidence,
+     top_k ARRAY<STRUCT<qcode, score>>)
+
+with ``pred_qcode`` NULL for NOTA/below-threshold (the reference's
+unlinked span) and ``top_k`` mirroring ``top_k_predicted_entities``
+(processor.py:366-397). Everything is lazy DataFrames end to end;
+``process_text`` is the only collecting convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import run_pipeline
+
+
+class RefinedSpark:
+    def __init__(self, spark: SparkSession, resource_dir: str,
+                 topk: int = 5):
+        self.spark = spark
+        self.resource_dir = resource_dir
+        self.topk = topk
+
+    # -- corpus surface ----------------------------------------------------
+
+    def process_documents(self, documents: DataFrame,
+                          spans_df: DataFrame | None = None) -> DataFrame:
+        """documents(url, html BINARY) [+ spans_df(url, start, length,
+        mention_text) for the provided-spans mode — the reference's
+        Span(text, start, ln) shape] -> one span row per mention."""
+        mode = "spans" if spans_df is not None else "e2e"
+        res = run_pipeline(self.spark, self.resource_dir, mode=mode,
+                           documents=documents, gold_spans=spans_df)
+        return self._spans_output(res)
+
+    def _spans_output(self, res: dict) -> DataFrame:
+        from .operators.scoring import topk_from_logits
+
+        links = res["links"].select("mention_key", "pred_qcode",
+                                    "confidence")
+        m = res["mentions"].select("url", "start", "length",
+                                   "mention_text", "mention_key")
+        tk = (topk_from_logits(res["with_logits"], k=self.topk)
+              .groupBy("mention_key")
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  F.col("topk_rank").alias("rank"),
+                  F.col("qcode").alias("qcode"),
+                  F.col("score").alias("score")))).alias("ranked"))
+              .select("mention_key", F.expr(
+                  "transform(ranked, r -> struct(r.qcode as qcode, "
+                  "r.score as score))").alias("top_k")))
+        return (m.join(links, "mention_key", "left")
+                .join(tk, "mention_key", "left")
+                .select("url", "start", "length", "mention_text",
+                        "pred_qcode", "confidence", "top_k"))
+
+    # -- single-text sugar (the reference's original call shape) ----------
+
+    def process_text(self, text: str,
+                     spans: list[tuple[int, int]] | None = None) -> list:
+        """One document through the same plan; returns collected Rows
+        ordered by start (reference Span-list shape)."""
+        docs = self.spark.createDataFrame(
+            [("doc0", bytearray(text.encode("utf-8")))], "url string, html binary")
+        spans_df = None
+        if spans is not None:
+            spans_df = self.spark.createDataFrame(
+                [("doc0", s, ln, text[s:s + ln]) for s, ln in spans],
+                "url string, start int, length int, mention_text string")
+        out = self.process_documents(docs, spans_df=spans_df)
+        rows = out.orderBy("start").collect()
+        # free the per-call pipeline caches
+        return rows
+
+    def process_text_batch(self, texts: list[str]) -> dict[int, list]:
+        """Batch sugar: index -> span rows (processor.py:185-208)."""
+        docs = self.spark.createDataFrame(
+            [(f"doc{i}", bytearray(t.encode("utf-8")))
+             for i, t in enumerate(texts)], "url string, html binary")
+        out = self.process_documents(docs).collect()
+        by_doc: dict[int, list] = {i: [] for i in range(len(texts))}
+        for r in out:
+            by_doc[int(r["url"][3:])].append(r)
+        for v in by_doc.values():
+            v.sort(key=lambda r: r["start"])
+        return by_doc

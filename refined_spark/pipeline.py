@@ -124,6 +124,8 @@ def run_pipeline(
     broadcast_pem: bool = True,
     broadcast_emb: bool = True,
     dict_dir: str | None = None,
+    documents: DataFrame | None = None,
+    gold_spans: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -134,6 +136,12 @@ def run_pipeline(
     shared storage in a cluster deployment).
     """
     t = load_tables(spark, fixture_dir)
+    # the API facade (api.RefinedSpark) processes caller-supplied corpora
+    # against the fixture_dir's RESOURCE tables (pem/entity/embeddings…)
+    if documents is not None:
+        t["documents"] = documents
+    if gold_spans is not None:
+        t["gold_spans"] = gold_spans
 
     if mode == "spans":
         # extraction runs map-side on scan partitions; only (url, text)

@@ -1,0 +1,46 @@
+"""User-facing facade (api.RefinedSpark) — the reference's process_text
+surface over the engine."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from refined_spark.api import RefinedSpark
+
+
+def test_process_documents_matches_pipeline(spark, fx_t1):
+    """Facade output must agree with run_pipeline's links on the fixture
+    corpus (spans mode) and carry a populated top_k per linked span."""
+    from refined_spark.pipeline import run_pipeline
+
+    ref = RefinedSpark(spark, fx_t1)
+    docs = spark.read.parquet(os.path.join(fx_t1, "documents.parquet"))
+    gold = spark.read.parquet(os.path.join(fx_t1, "gold_spans.parquet"))
+    out = ref.process_documents(docs, spans_df=gold)
+
+    res = run_pipeline(spark, fx_t1, mode="spans")
+    want = {(r["url"], r["start"]): r["pred_qcode"]
+            for r in res["links"].collect()}
+    got = {(r["url"], r["start"]): r["pred_qcode"] for r in out.collect()}
+    assert got == want and got
+
+    linked = out.where(F.col("pred_qcode").isNotNull())
+    row = linked.first()
+    assert row["top_k"][0]["qcode"] == row["pred_qcode"]
+    assert all(row["top_k"][i]["score"] >= row["top_k"][i + 1]["score"]
+               for i in range(len(row["top_k"]) - 1))
+    res["unpersist"]()
+
+
+def test_process_text_single_doc(spark, fx_t1):
+    """One raw text through the e2e plan returns ordered span rows."""
+    ent = spark.read.parquet(os.path.join(fx_t1, "entity.parquet"))
+    pem = spark.read.parquet(os.path.join(fx_t1, "pem.parquet"))
+    sf, q = (pem.orderBy(F.desc("prob"), "surface_form")
+             .select("surface_form", "qcode").first())
+    ref = RefinedSpark(spark, fx_t1)
+    spans = ref.process_text(f"A report about {sf} appeared today.")
+    assert spans and all(s["start"] >= 0 for s in spans)
+    hits = [s for s in spans if s["mention_text"].lower() == sf.lower()]
+    assert hits
+    assert ent.where(F.col("qcode") == q).count() == 1
