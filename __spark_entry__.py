@@ -487,6 +487,27 @@ def q_date_resolve(spark, sf):
         "url", "start", "part_idx")
 
 
+def q_date_detect(spark, sf):
+    """E9 front-end — date-expression DETECTION (the deterministic
+    stand-in for the reference MD head's DATE coarse type). Corpus built
+    deterministically from the date_spans fixture (texts joined in start
+    order); the DuckDB oracle runs the IDENTICAL RE2-compatible pattern
+    via regexp_extract_all. Offsets are omitted (DuckDB has no match-
+    position extraction); per-url match sequence stands in."""
+    from refined_spark.operators.dates import detect_date_spans
+
+    spans = _fx(spark, sf, "date_spans")
+    docs = spans.groupBy("url").agg(F.array_join(F.expr(
+        "transform(array_sort(collect_list(struct(start, date_text))),"
+        " x -> x.date_text)"), " then came ").alias("text"))
+    from pyspark.sql.window import Window
+
+    det = detect_date_spans(docs)
+    w = Window.partitionBy("url").orderBy("start")
+    return (det.withColumn("seq", F.row_number().over(w))
+            .select("url", "seq", "date_text").orderBy("url", "seq"))
+
+
 def q_bpe_tokens(spark, sf):
     """E2 — byte-level BPE tokenization with char offsets (reference
     preprocessor.py:211-237). Merges artifact trained at fixture-gen
@@ -869,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_lookups": q_wikidata_lookups,
         "class_arrays": q_class_arrays,
         "bpe_tokens": q_bpe_tokens,
+        "date_detect": q_date_detect,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
         "job_results_page": q_job_results_page,
@@ -1260,6 +1282,31 @@ def _ann_banded_ctes(bits: int = 32, n_bands: int = 8, dim: int = 64,
                       order by cos desc, nid) as int) as nn_rank
           from rescored qualify nn_rank <= {k}
         )
+    """
+
+
+def _date_detect_oracle_sql() -> str:
+    """DuckDB replay of the date-expression detector: the SAME
+    RE2-compatible pattern (dates.DETECT_PATTERN is backref/lookaround-
+    free by construction) via regexp_extract_all with the 'i' option;
+    per-url sequence = array order = document order."""
+    from refined_spark.operators.dates import DETECT_PATTERN
+
+    return f"""
+        with docs as (
+          select url,
+                 string_agg(date_text, ' then came ' order by start)
+                   as text
+          from read_parquet('{_fxp("date_spans")}') group by url
+        ), m as (
+          select url,
+                 regexp_extract_all(text, '{DETECT_PATTERN}', 0, 'i')
+                   as matches
+          from docs
+        )
+        select url, cast(i as int) as seq, matches[i] as date_text
+        from m, unnest(generate_series(1, len(matches))) as t(i)
+        order by url, seq
     """
 
 
@@ -1838,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{_fxp("expected_bpe_tokens")}')
             order by doc_id, pos
         """,
+        "date_detect": _date_detect_oracle_sql(),
         "table_link": f"""
             with {_table_link_cte()}
             select table_id, "row", pred_qcode

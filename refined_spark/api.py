@@ -72,6 +72,18 @@ class RefinedSpark:
                 .select("url", "start", "length", "mention_text",
                         "pred_qcode", "confidence", "top_k"))
 
+    def process_dates(self, documents: DataFrame) -> DataFrame:
+        """The DATE-handler path (ref processor.py:314-321): detect date
+        expressions over the extracted text (deterministic grammar scan
+        standing in for the MD head's DATE coarse type) and resolve them
+        (E9). One row per resolved date part."""
+        from .operators.dates import detect_date_spans, resolve_dates
+        from .operators.extract import with_extracted_text
+
+        docs = with_extracted_text(documents).select(
+            "url", F.col("extracted").alias("text"))
+        return resolve_dates(detect_date_spans(docs))
+
     # -- single-text sugar (the reference's original call shape) ----------
 
     def process_text(self, text: str,

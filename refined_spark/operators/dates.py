@@ -35,6 +35,9 @@ the lowercased text.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +94,62 @@ def split_date_parts(spans: DataFrame,
         .withColumn("offset", F.col("_e.offset"))
         .drop("_z", "_e")
     )
+
+
+# ---------------------------------------------------------------------------
+# detection — deterministic stand-in for the reference's DATE-typed MD
+# ---------------------------------------------------------------------------
+#
+# In the reference, DATE spans come from the trained MD head (coarse_type
+# "DATE", processor.py:314-321 routes them to the date handler). The
+# deterministic analog is a grammar scan for exactly the atoms the
+# resolver parses (a bare 4-digit year only qualifies inside a range —
+# standalone numbers are hopelessly ambiguous without a model).
+# RE2-compatible (no backrefs/lookarounds) so DuckDB can run it verbatim.
+
+_ATOM = (rf"(?:{MONTH_RE} \d{{1,2}}(?:st|nd|rd|th)?,? \d{{4}}"
+         rf"|\d{{1,2}}(?:st|nd|rd|th)? {MONTH_RE},? \d{{4}}"
+         rf"|{MONTH_RE} \d{{4}}"
+         rf"|{MONTH_RE} \d{{1,2}}(?:st|nd|rd|th)?"
+         rf"|\d{{1,2}}[/.-]\d{{1,2}}[/.-]\d{{4}})")
+_RANGE_SEP = r"(?:\s?--\s?| - | to )"
+DETECT_PATTERN = (rf"\b(?:(?:{_ATOM}|\d{{4}}){_RANGE_SEP}"
+                  rf"(?:{_ATOM}|\d{{4}})|{_ATOM})")
+
+
+def detect_date_spans(docs: DataFrame, text_col: str = "text",
+                      url_col: str = "url") -> DataFrame:
+    """(url, text) -> (url, start, date_text) — one row per detected date
+    expression, char offsets. One Arrow crossing (offsets need
+    ``re.finditer``; Spark's regexp functions return matches, not
+    positions), case-insensitive, leftmost-longest via alternation
+    order (ranges before single atoms)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rx = re.compile(DETECT_PATTERN, re.IGNORECASE)
+    schema = ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("date_text", StringType()),
+    ]))
+
+    @pandas_udf(schema)
+    def find(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [
+            (m.start(), m.group(0)) for m in rx.finditer(t or "")])
+
+    return (docs.select(F.col(url_col).alias("url"),
+                        find(F.col(text_col)).alias("_m"))
+            .select("url", F.explode_outer("_m").alias("m"))
+            .where(F.col("m").isNotNull())
+            .select("url", F.col("m.start").alias("start"),
+                    F.col("m.date_text").alias("date_text")))
 
 
 def resolve_dates(spans: DataFrame,

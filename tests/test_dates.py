@@ -93,3 +93,35 @@ def test_range_offsets(spark):
     rows = sorted((r["part_idx"], r["offset"], r["date_part"])
                   for r in resolve_dates(df).collect())
     assert rows == [(0, 0, "1945"), (1, 8, "1988")]
+
+
+def test_detect_date_spans(spark):
+    from refined_spark.operators.dates import (
+        detect_date_spans,
+        resolve_dates,
+    )
+
+    docs = spark.createDataFrame([
+        ("u1", "Born on June 12, 1987 in Paris; moved 03/04/1999."),
+        ("u2", "The war lasted 1939 to 1945, ending in May 1945."),
+        ("u3", "The grandmarch 2020 parade had no dates at all here."),
+        ("u4", ""),
+    ], "url string, text string")
+    got = {(r["url"], r["start"], r["date_text"])
+           for r in detect_date_spans(docs).collect()}
+    assert ("u1", 8, "June 12, 1987") in got
+    assert ("u1", 38, "03/04/1999") in got
+    assert ("u2", 15, "1939 to 1945") in got
+    assert ("u2", 39, "May 1945") in got
+    # \b guard: 'march 2020' inside 'grandmarch' must NOT match
+    assert not any(u == "u3" for u, _, _ in got)
+    assert len(got) == 4
+
+    # detected spans feed the resolver end-to-end
+    res = {(r["url"], r["start"], r["part_idx"]):
+           (r["day"], r["month"], r["year"])
+           for r in resolve_dates(detect_date_spans(docs)).collect()}
+    assert res[("u1", 8, 0)] == (12, 6, 1987)
+    assert res[("u2", 15, 0)] == (None, None, 1939)
+    assert res[("u2", 15, 1)] == (None, None, 1945)
+    assert res[("u2", 39, 0)] == (None, 5, 1945)
