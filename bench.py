@@ -91,7 +91,10 @@ def run_headline_queries() -> dict[str, float]:
 
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+# 4 pairs ≈ 45 min at the 4.8M-doc corpus: enough samples for the
+# per-level min to hit a fast-host window at both levels (observed
+# variance study in BASELINE.md) without doubling the round's bench wall
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
 CONTROL_ROWS = int(os.environ.get("SPARK_GRAFT_CONTROL_ROWS",
                                   "1500000000"))
 
