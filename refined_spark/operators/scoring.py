@@ -356,7 +356,11 @@ def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
     (ctx_word -> qcode -> features): zero shuffle of the mention table.
     The map's size is the distinct observed (ctx, qcode) pair count —
     alias-table-scale, the same budget the reference spends on its PEM
-    dict on every worker.
+    dict on every worker. Escape hatch if that budget is ever exceeded:
+    the row-shaped path (:func:`score_candidates` with
+    ``broadcast_emb=False``) computes identical logits via an
+    explode + shuffle-join of the pair-feature table and stays
+    oracle-tested as the cross-check implementation.
 
     ``pair_logits`` (round-2 scale move): a broadcast
     (norm_sf, ctx_word) -> logits table precomputed on the DISTINCT
