@@ -118,7 +118,10 @@ def _sample_date_text(rng, mode: str) -> str:
         return f"{1 + int(rng.integers(0, 28))} {mname} {y}"
     if kind == 6:  # range of two distinct years (offsets stay searchable)
         y2 = y + 1 + int(rng.integers(1, 30))
-        joiner = [" to ", " - ", "--"][int(rng.integers(0, 3))]
+        # ' -- ' included so the oracle exercises the \s?--\s? branch of
+        # SPLIT_RE with REAL whitespace (round-2 advisor: the unspaced
+        # fixtures let an expr-escaping offset bug through)
+        joiner = [" to ", " - ", "--", " -- "][int(rng.integers(0, 4))]
         return f"{y}{joiner}{y2}"
     if kind == 7:  # numeric
         if mode == "day_first":
@@ -163,6 +166,81 @@ def gen_date_spans(out_dir: str, n_urls: int) -> None:
     _write(os.path.join(out_dir, "date_spans.parquet"), rows, pa.schema([
         ("url", pa.string()), ("start", pa.int32()),
         ("date_text", pa.string()),
+    ]))
+
+
+# --------------------------------------------------------------------------
+# numeric spans (CARDINAL/ORDINAL/MONEY/PERCENT/TIME/QUANTITY handlers)
+# --------------------------------------------------------------------------
+
+def _sample_number_text(rng) -> str:
+    """One numeric expression from the closed handler grammar
+    (operators/numbers.py), covering every coarse type + junk."""
+    n = int(rng.integers(1, 5000))
+    frac = f"{n}.{int(rng.integers(0, 99)):02d}"
+    big = f"{int(rng.integers(1, 999)):d},{int(rng.integers(0, 999)):03d}"
+    num = [str(n), frac, big][int(rng.integers(0, 3))]
+    kind = int(rng.integers(0, 10))
+    if kind == 0:  # PERCENT
+        return num + [" percent", "%", " per cent"][int(rng.integers(0, 3))]
+    if kind == 1:  # MONEY symbol
+        sym = "$£€"[int(rng.integers(0, 3))]
+        scale = ["", " million", " billion"][int(rng.integers(0, 3))]
+        return f"{sym}{num}{scale}"
+    if kind == 2:  # MONEY word
+        w = ["dollars", "pounds", "euros", "cents"][int(rng.integers(0, 4))]
+        return f"{num} {w}"
+    if kind == 3:  # TIME
+        h = int(rng.integers(0, 24))
+        m = int(rng.integers(0, 60))
+        v = rng.random()
+        if v < 0.4:
+            return f"{h % 13}:{m:02d} {'am' if h < 12 else 'pm'}"
+        if v < 0.7:
+            return f"{h}:{m:02d}:{int(rng.integers(0, 60)):02d}"
+        return f"{1 + h % 12} {'am' if h < 12 else 'pm'}"
+    if kind == 4:  # QUANTITY
+        u = ["km", "kg", "miles", "metres", "tonnes", "acres",
+             "litres"][int(rng.integers(0, 7))]
+        return f"{num} {u}"
+    if kind == 5:  # ORDINAL digits
+        d = 1 + int(rng.integers(0, 130))
+        sfx = ("th" if 11 <= d % 100 <= 13
+               else {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th"))
+        return f"{d}{sfx}"
+    if kind == 6:  # ORDINAL worded
+        return ["first", "second", "third", "fifth", "ninth", "twelfth",
+                "twentieth"][int(rng.integers(0, 7))]
+    if kind == 7:  # CARDINAL worded
+        return ["one", "seven", "twelve", "nineteen", "forty", "ninety",
+                "hundred", "million"][int(rng.integers(0, 8))]
+    if kind == 8:  # CARDINAL numeric w/ scale
+        scale = ["", " thousand", " million"][int(rng.integers(0, 3))]
+        return f"{num}{scale}"
+    return num  # bare CARDINAL
+
+
+def gen_number_docs(out_dir: str, n_urls: int) -> None:
+    """Documents whose text interleaves grammar expressions with filler
+    prose — the corpus for the number-handler oracle (same build the
+    date_detect corpus uses)."""
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(777))
+    filler = ["the committee reported", "sales reached", "documented at",
+              "about", "roughly", "which was", "growth of", "a lap of",
+              "closing price", "the entry read"]
+    rows = []
+    for u in range(n_urls):
+        url = f"https://example.org/numpage/{u:05d}"
+        n_spans = 4 + int(rng.integers(0, 6))
+        pieces = []
+        for _ in range(n_spans):
+            pieces.append(filler[int(rng.integers(0, len(filler)))])
+            pieces.append(_sample_number_text(rng))
+        rows.append(dict(url=url, text=" ".join(pieces) + "."))
+    _write(os.path.join(out_dir, "number_docs.parquet"), rows, pa.schema([
+        ("url", pa.string()), ("text", pa.string()),
     ]))
 
 
@@ -597,6 +675,7 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     world = _rebuild_oracle_world(cfg)
     gen_expected_topk(out_dir, world)
     gen_date_spans(out_dir, {"t1": 24}.get(tier, 120))
+    gen_number_docs(out_dir, {"t1": 24}.get(tier, 120))
     gen_wiki_pages(out_dir, world, {"t1": 60}.get(tier, 400))
     gen_csv_tables(out_dir, world, {"t1": 12}.get(tier, 60))
     gen_messy_spans(out_dir, world, {"t1": 30}.get(tier, 150))

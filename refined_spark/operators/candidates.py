@@ -447,19 +447,37 @@ def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
 
 
 def pair_candidate_arrays(surf_ctx: DataFrame,
-                          pem_arrays: DataFrame) -> DataFrame:
+                          pem_arrays: DataFrame,
+                          broadcast_pem: bool = True) -> DataFrame:
     """Candidate arrays at the DISTINCT (norm_sf, ctx_word) pair level —
     the Zipf-dedup of the direct (non-coref) candidate computation: a
     mention's direct candidate list is a pure function of its surface
     form, so it is computed once per distinct pair and broadcast back
-    (see scoring.with_candidate_logits pair_logits)."""
-    pc = (surf_ctx.join(F.broadcast(pem_arrays),
-                        surf_ctx.norm_sf == pem_arrays.surface_form,
-                        "left")
-          .drop("surface_form")
-          .withColumn("coref_arr", F.lit(None).cast(
-              "array<struct<rank:int,qcode:string,prob:double,"
-              "is_human:boolean>>")))
+    (see scoring.with_candidate_logits pair_logits).
+
+    ``broadcast_pem=False`` (alias table beyond broadcast range) routes
+    the attach through the same skew-salted shuffle join as
+    mention_candidate_arrays — previously this path hard-coded the
+    broadcast, silently defeating the flag exactly at the scale it
+    exists for (round-2 advisor finding). Skew here is bounded by the
+    ctx vocabulary (pairs are DISTINCT), but a hot surface × wide topic
+    vocabulary still concentrates on one reduce task unsalted."""
+    if broadcast_pem:
+        pc = (surf_ctx.join(F.broadcast(pem_arrays),
+                            surf_ctx.norm_sf == pem_arrays.surface_form,
+                            "left")
+              .drop("surface_form"))
+    else:
+        from .blocking import hot_keys, salted_array_join
+
+        keyed = surf_ctx.withColumn(
+            "mention_key", F.concat_ws("\x00", "norm_sf", "ctx_word"))
+        pc = salted_array_join(
+            keyed, pem_arrays, hot_keys(keyed, "norm_sf")
+        ).drop("mention_key")
+    pc = pc.withColumn("coref_arr", F.lit(None).cast(
+        "array<struct<rank:int,qcode:string,prob:double,"
+        "is_human:boolean>>"))
     return _merge_rank_arrays(pc)
 
 

@@ -77,9 +77,15 @@ def split_date_parts(spans: DataFrame,
     (`_split_date_text`: each part is searched from the end of the
     previous part, so separators are skipped naturally)."""
     parts = F.split(F.col(text_col), SPLIT_RE)
+    # Spark's SQL parser unescapes string literals, so the regex must be
+    # double-escaped when interpolated into the expr text — otherwise
+    # '\s?--\s?' degrades to 's?--s?' and spaced range joiners
+    # ('4 May 1945 -- 8 May 1988') yield offsets shifted by one
+    # (round-2 advisor repro; the Python-API F.split above is unaffected)
+    split_re_sql = SPLIT_RE.replace("\\", "\\\\")
     offs = F.expr(f"""
         aggregate(
-          split({text_col}, '{SPLIT_RE}'),
+          split({text_col}, '{split_re_sql}'),
           struct(cast(array() as array<int>) as offs, 0 as pos),
           (acc, p) -> struct(
             acc.offs || array(locate(p, {text_col}, acc.pos + 1) - 1),

@@ -196,7 +196,6 @@ def lsh_candidate_pairs(signatures: DataFrame,
                         bands: int = config.MINHASH_BANDS) -> DataFrame:
     """Band the signature, bucket-join within bands → (id_a, id_b) distinct
     candidate pairs (id_a < id_b)."""
-    n = None  # rows per band derived from the signature length at runtime
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(

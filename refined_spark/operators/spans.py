@@ -125,8 +125,14 @@ def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """E3 — (url, text) -> (url, sent_idx, sent_start, sentence).
     Chunk regex keeps terminators + trailing whitespace so offsets are a
     prefix-sum (computed in-row, zero shuffle); emitted sentences are
-    trimmed, empty chunks dropped."""
-    chunks = F.expr(f"regexp_extract_all({text_col}, '{SENT_RE}', 0)")
+    trimmed, empty chunks dropped.
+
+    The pattern is passed as a Column literal (Python API), NOT
+    interpolated into an F.expr SQL string: Spark's SQL parser unescapes
+    string literals, so an embedded ``\\s`` would degrade to a plain
+    ``s`` and the chunk regex would stop consuming trailing whitespace,
+    shifting every subsequent sentence offset (round-2 advisor repro)."""
+    chunks = F.regexp_extract_all(F.col(text_col), F.lit(SENT_RE), F.lit(0))
     d = docs.select("url", chunks.alias("chunks"))
     offs = F.expr("""
         aggregate(chunks, struct(cast(array() as array<int>) as offs,

@@ -110,11 +110,23 @@ def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
 
 
 def _default_dict_dir(fixture_dir: str) -> str:
+    """Artifact dir keyed on fixture PATH + CONTENT stamp: regenerating
+    fixtures in place (a _VERSION/_EXTRAS bump rebuilds the same
+    directory) must not silently reuse a dictionary whose keys no longer
+    match the new pem/entity tables (round-2 advisor finding). The stamp
+    files are bytes-tiny; missing stamps hash as empty (caller-supplied
+    resource dirs outside the fixture generator)."""
     import hashlib
     import tempfile
 
-    h = hashlib.sha256(os.path.abspath(fixture_dir).encode()).hexdigest()
-    return os.path.join(tempfile.gettempdir(), "refined_spark_dicts", h[:16])
+    h = hashlib.sha256(os.path.abspath(fixture_dir).encode())
+    for stamp in ("_VERSION.json", "_EXTRAS.json"):
+        p = os.path.join(fixture_dir, stamp)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return os.path.join(tempfile.gettempdir(), "refined_spark_dicts",
+                        h.hexdigest()[:16])
 
 
 def run_pipeline(
@@ -126,6 +138,7 @@ def run_pipeline(
     dict_dir: str | None = None,
     documents: DataFrame | None = None,
     gold_spans: DataFrame | None = None,
+    extraction_guard_mod: int | None = 4096,
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -142,6 +155,18 @@ def run_pipeline(
         t["documents"] = documents
     if gold_spans is not None:
         t["gold_spans"] = gold_spans
+
+    # Default-on sampled extraction-contract guard: the JVM extractor is
+    # byte-identical to the Python parser spec only on the corpus HTML
+    # contract; a violating corpus would silently shift every downstream
+    # span offset. One ~1/mod-of-a-scan action makes it fail loudly here
+    # instead (pass None to opt out; tools/run_job.py runs the denser
+    # mod=256 variant as a standalone guard stage).
+    if extraction_guard_mod:
+        from .operators.extract import assert_extraction_contract
+
+        assert_extraction_contract(t["documents"],
+                                   mod=extraction_guard_mod)
 
     if mode == "spans":
         # extraction runs map-side on scan partitions; only (url, text)
@@ -206,8 +231,9 @@ def run_pipeline(
     # the pair table is bytes-tiny but its logits projection is the
     # heaviest per-row JVM math in the job, so AQE's size-based
     # coalescing would serialize it onto one task; pin at core width
-    pair_frame = pair_candidate_arrays(surf_ctx, pem_arrays).repartition(
-        spark.sparkContext.defaultParallelism)
+    pair_frame = pair_candidate_arrays(
+        surf_ctx, pem_arrays, broadcast_pem=broadcast_pem,
+    ).repartition(spark.sparkContext.defaultParallelism)
     pair_logits = with_candidate_logits(
         pair_frame, t["entity"], t["entity_emb"], t["topic_class"],
         weights, feature_map=fmap)

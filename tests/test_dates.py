@@ -125,3 +125,16 @@ def test_detect_date_spans(spark):
     assert res[("u2", 15, 0)] == (None, None, 1939)
     assert res[("u2", 15, 1)] == (None, None, 1945)
     assert res[("u2", 39, 0)] == (None, 5, 1945)
+
+
+def test_range_offsets_spaced_joiner(spark):
+    # round-2 advisor repro: '\s?--\s?' degraded to 's?--s?' inside the
+    # F.expr SQL literal, shifting the second part's offset by one
+    df = spark.createDataFrame(
+        [("u", 0, "4 May 1945 -- 8 May 1988"),
+         ("v", 0, "1950 -- 1977")],
+        "url: string, start: int, date_text: string")
+    rows = sorted((r["url"], r["part_idx"], r["offset"], r["date_part"])
+                  for r in resolve_dates(df).collect())
+    assert rows == [("u", 0, 0, "4 May 1945"), ("u", 1, 14, "8 May 1988"),
+                    ("v", 0, 0, "1950"), ("v", 1, 8, "1977")]

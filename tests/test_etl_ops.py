@@ -63,3 +63,22 @@ def test_minimal_classes_prunes_implied(spark, fx_t1):
     out = {(r["key"], r["class_name"])
            for r in minimal_classes(cl, labeled).collect()}
     assert out == {("m1", "C_carmaker"), ("m2", "C_city")}
+
+
+def test_split_sentences_offsets_consume_whitespace(spark):
+    # round-2 advisor repro: the chunk regex must consume trailing
+    # whitespace ('\s*' survived SQL-literal unescaping as plain 's*'),
+    # otherwise every sentence after the first points at the preceding
+    # space instead of its own first character
+    from refined_spark.operators.spans import split_sentences
+
+    d = spark.createDataFrame(
+        [("u1", "One two. Three four! Five."),
+         ("u2", "No terminators here")],
+        "url string, text string")
+    got = {(r["url"], r["sent_idx"]): (r["sent_start"], r["sentence"])
+           for r in split_sentences(d).collect()}
+    assert got[("u1", 0)] == (0, "One two.")
+    assert got[("u1", 1)] == (9, "Three four!")
+    assert got[("u1", 2)] == (21, "Five.")
+    assert got[("u2", 0)] == (0, "No terminators here")

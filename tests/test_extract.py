@@ -75,3 +75,21 @@ def test_jvm_extraction_adversarial_cases(spark):
         "url", extracted_text_col("html").alias("jvm")).collect()}
     for i, c in enumerate(cases):
         assert got[str(i)] == extract_text(c.encode()), repr(c)
+
+
+def test_pipeline_extraction_guard_raises_on_contract_violation(
+        spark, fx_t1):
+    """run_pipeline's default-on sampled guard (round-1 ADVICE, round-2
+    VERDICT #4): a corpus whose HTML violates the extraction contract
+    (bare named refs outside the html.escape set) must fail loudly
+    instead of silently shifting downstream span offsets."""
+    import pytest
+
+    from refined_spark.pipeline import run_pipeline
+
+    bad = spark.createDataFrame(
+        [("u0", bytearray(b"<p>a &nbsp; b</p>"))],
+        "url string, html binary")
+    with pytest.raises(AssertionError, match="extraction HTML contract"):
+        run_pipeline(spark, fx_t1, mode="spans", documents=bad,
+                     extraction_guard_mod=1)
