@@ -33,6 +33,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
+CANCEL_SENTINEL = "CANCEL"
+
+
+class JobCancelledError(RuntimeError):
+    """Raised when a run is cancelled mid-pipeline (the engine analog of
+    the reference's cancel endpoint + per-row cancel checks,
+    api/app/endpoints/refined_api.py:192-206,
+    api/app/services/job_service.py:114-117)."""
 
 # Bumped whenever a stage's OUTPUT SCHEMA changes incompatibly; folded
 # into the fingerprint chain so a run_dir checkpointed by an older
@@ -54,6 +62,37 @@ class CheckpointRunner:
         ).hexdigest()
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
+        # one job group per run: every stage's Spark jobs are tagged with
+        # it, so cancel() can interrupt RUNNING tasks (not just the next
+        # stage boundary). A fresh runner clears a stale sentinel — a new
+        # submission is an explicit intent to run.
+        self.job_group = "refined_spark:" + hashlib.sha256(
+            os.path.abspath(run_dir).encode()).hexdigest()[:12]
+        sentinel = os.path.join(run_dir, CANCEL_SENTINEL)
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
+
+    # -- cancellation ------------------------------------------------------
+
+    def _sentinel_path(self) -> str:
+        return os.path.join(self.run_dir, CANCEL_SENTINEL)
+
+    def cancel(self) -> None:
+        """Cancel this run: durable sentinel (observed at the next stage
+        boundary, and by cancel_run() from ANY process sharing the
+        run_dir) + job-group interruption (kills running tasks now).
+        Safe to call from another thread — the reference's cancel
+        endpoint shape."""
+        cancel_run(self.run_dir)
+        self.spark.sparkContext.cancelJobGroup(self.job_group)
+
+    def cancelled(self) -> bool:
+        return os.path.exists(self._sentinel_path())
+
+    def _check_cancelled(self, stage: str) -> None:
+        if self.cancelled():
+            raise JobCancelledError(
+                f"run {self.run_dir} cancelled before stage {stage!r}")
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.run_dir, name)
@@ -83,9 +122,28 @@ class CheckpointRunner:
             self.stages_resumed.append(name)
             return self.spark.read.parquet(data_dir)
 
+        self._check_cancelled(name)
         t0 = time.time()
-        df = build()
-        df.write.mode("overwrite").parquet(data_dir)
+        sc = self.spark.sparkContext
+        sc.setJobGroup(self.job_group, f"stage:{name}",
+                       interruptOnCancel=True)
+        try:
+            df = build()
+            df.write.mode("overwrite").parquet(data_dir)
+        except Exception as e:  # noqa: BLE001 — classify cancel vs real
+            if self.cancelled():
+                self._write_manifest(name, dict(
+                    stage=name, status="cancelled",
+                    input_fingerprint=expected_fp,
+                    wall_sec=round(time.time() - t0, 3)))
+                raise JobCancelledError(
+                    f"stage {name!r} interrupted by cancel") from e
+            raise
+        finally:
+            sc.setJobGroup("", "")
+        # NOTE: a cancel that lands after the write completes lets this
+        # stage finish its manifest (the work is durable — resume keeps
+        # it) and stops the run at the NEXT stage's entry check.
         out = self.spark.read.parquet(data_dir)
         parts = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -96,7 +154,7 @@ class CheckpointRunner:
         n_rows = sum(r["rows"] for r in parts)
         out_fp = hashlib.sha256(
             (expected_fp + name + str(n_rows)).encode()).hexdigest()
-        manifest = dict(
+        self._write_manifest(name, dict(
             stage=name,
             status="ok",
             input_fingerprint=expected_fp,
@@ -106,14 +164,28 @@ class CheckpointRunner:
             partitions=[dict(partition_id=r["partition_id"],
                              rows=r["rows"]) for r in parts],
             schema=out.schema.simpleString(),
-        )
+        ))
+        self._chain = out_fp
+        self.stages_run.append(name)
+        return out
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        os.makedirs(self._stage_dir(name), exist_ok=True)
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))
-        self._chain = out_fp
-        self.stages_run.append(name)
-        return out
+
+
+def cancel_run(run_dir: str) -> None:
+    """Durably request cancellation of the run using ``run_dir`` — from
+    any process (the CLI analog of the reference's cancel endpoint). The
+    running job observes it at the next stage boundary; in-process
+    callers use CheckpointRunner.cancel(), which also interrupts running
+    tasks via the job group."""
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, CANCEL_SENTINEL), "w") as f:
+        f.write(str(time.time()))
 
 
 def run_pipeline_checkpointed(

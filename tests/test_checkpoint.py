@@ -61,3 +61,78 @@ def test_checkpoint_invalidation_on_input_change(spark, fx_t1, fx_t2,
     res = run_pipeline_checkpointed(spark, fx_t1, run_dir, mode="e2e")
     assert res["runner"].stages_resumed == []
     assert len(res["runner"].stages_run) == 4
+
+
+def test_cancel_between_stages_and_resume(spark, tmp_path_factory):
+    """Out-of-band cancellation (the reference cancel endpoint analog):
+    a sentinel dropped while a stage runs stops the run at the NEXT
+    stage entry; the completed stage's manifest survives and a fresh
+    submission clears the sentinel and resumes from it."""
+    import pytest
+
+    from refined_spark.checkpoint import (
+        CheckpointRunner,
+        JobCancelledError,
+        cancel_run,
+    )
+
+    run_dir = str(tmp_path_factory.mktemp("cancel_boundary"))
+    runner = CheckpointRunner(spark, run_dir, run_inputs=dict(k="v"))
+
+    def build_one():
+        # simulate a cancel request arriving while this stage computes
+        cancel_run(run_dir)
+        return spark.range(10).toDF("n")
+
+    out = runner.stage("one", build_one)
+    assert out.count() == 10  # durable work kept
+    with pytest.raises(JobCancelledError, match="before stage 'two'"):
+        runner.stage("two", lambda: spark.range(5).toDF("n"))
+    with open(os.path.join(run_dir, "one", "manifest.json")) as f:
+        assert json.load(f)["status"] == "ok"
+
+    # resubmission clears the sentinel and resumes
+    runner2 = CheckpointRunner(spark, run_dir, run_inputs=dict(k="v"))
+    assert not runner2.cancelled()
+    runner2.stage("one", build_one)  # build_one re-cancels; stage resumes
+    assert runner2.stages_resumed == ["one"]
+
+
+def test_cancel_interrupts_running_stage(spark, tmp_path_factory):
+    """cancel() must kill RUNNING tasks via the job group (not wait for
+    the stage boundary) and mark the in-flight stage 'cancelled' so a
+    resume recomputes it."""
+    import threading
+    import time as _time
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from refined_spark.checkpoint import (
+        CheckpointRunner,
+        JobCancelledError,
+    )
+
+    run_dir = str(tmp_path_factory.mktemp("cancel_midstage"))
+    runner = CheckpointRunner(spark, run_dir, run_inputs=dict(k="v"))
+
+    @F.udf(LongType())
+    def slow(x):
+        _time.sleep(30)
+        return x
+
+    t = threading.Timer(3.0, runner.cancel)
+    t.start()
+    t0 = _time.time()
+    try:
+        with pytest.raises(JobCancelledError, match="interrupted"):
+            runner.stage(
+                "slow",
+                lambda: spark.range(64).repartition(8)
+                .withColumn("y", slow("id")))
+    finally:
+        t.cancel()
+    assert _time.time() - t0 < 25, "cancel did not interrupt the stage"
+    with open(os.path.join(run_dir, "slow", "manifest.json")) as f:
+        assert json.load(f)["status"] == "cancelled"
