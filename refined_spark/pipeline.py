@@ -139,6 +139,7 @@ def run_pipeline(
     documents: DataFrame | None = None,
     gold_spans: DataFrame | None = None,
     extraction_guard_mod: int | None = 4096,
+    emb_precision: str = "fp32",
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -155,6 +156,17 @@ def run_pipeline(
         t["documents"] = documents
     if gold_spans is not None:
         t["gold_spans"] = gold_spans
+    if emb_precision == "fp16":
+        # the reference's documented half-precision trade
+        # (preprocessor.py:188-200): half the at-rest/broadcast bytes,
+        # scores fp16-rounded (decode back to fp32 is exact)
+        from .functions.fp16 import ensure_fp16_sidecar, read_entity_emb_fp16
+
+        t["entity_emb"] = read_entity_emb_fp16(
+            spark, ensure_fp16_sidecar(spark, fixture_dir))
+    elif emb_precision != "fp32":
+        raise ValueError(f"emb_precision must be fp32|fp16, "
+                         f"got {emb_precision!r}")
 
     # Default-on sampled extraction-contract guard: the JVM extractor is
     # byte-identical to the Python parser spec only on the corpus HTML
