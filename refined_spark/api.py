@@ -34,10 +34,13 @@ from .pipeline import run_pipeline
 
 class RefinedSpark:
     def __init__(self, spark: SparkSession, resource_dir: str,
-                 topk: int = 5):
+                 topk: int = 5, backward_coref: bool = False):
         self.spark = spark
         self.resource_dir = resource_dir
         self.topk = topk
+        # reference Refined.process_text(backward_coref=...) analog:
+        # 2-pass person coref (candidate_generator.py:123-159)
+        self.backward_coref = backward_coref
         # unpersist hooks of pipelines whose (lazy) output is still live;
         # drained by release_caches() / the collecting sugar methods
         self._unpersist_hooks: list = []
@@ -57,7 +60,8 @@ class RefinedSpark:
         lifetime (round-2 judge finding)."""
         mode = "spans" if spans_df is not None else "e2e"
         res = run_pipeline(self.spark, self.resource_dir, mode=mode,
-                          documents=documents, gold_spans=spans_df)
+                          documents=documents, gold_spans=spans_df,
+                          backward_coref=self.backward_coref)
         self._unpersist_hooks.append(res["unpersist"])
         return self._spans_output(res)
 

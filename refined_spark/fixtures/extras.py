@@ -310,6 +310,104 @@ def gen_expected_topk(out_dir: str, world: dict, k: int = 5) -> None:
 
 
 # --------------------------------------------------------------------------
+# backward-coref corpus (M3 2-pass protocol,
+# reference candidate_generator.py:123-159)
+# --------------------------------------------------------------------------
+
+def gen_coref_docs(out_dir: str, world: dict, n_urls: int) -> None:
+    """Docs where surname mentions PRECEDE the registering full name —
+    the case the forward protocol cannot resolve and ``backward_coref``
+    exists for. Five deterministic patterns per cycle:
+
+    0. surname, Full Name, surname — first receiver needs the fallback;
+    1. Full Name, surname — pure forward (both modes must agree);
+    2. surname only — no registration in the doc (both modes: nothing);
+    3. P, surname, Q, surname (shared surname) — latest-BEFORE must win
+       over the pre-pass residue in backward mode too;
+    4. surname, P, Q (shared surname) — backward fallback must take the
+       document-LAST registration (Q), not the first.
+
+    Expected tables come from the sequential oracle replay
+    (oracle.candidates_rows) in BOTH directions, so the gate also proves
+    the two modes actually differ on this corpus (non-vacuity).
+    """
+    import os
+
+    from . import oracle as o
+
+    rng = np.random.Generator(np.random.PCG64(4242))
+    persons = world["uni"]["persons"]
+    by_last: dict[str, list] = {}
+    for p in persons:
+        by_last.setdefault(p["last"], []).append(p)
+    docs_rows, span_rows = [], []
+    for i in range(n_urls):
+        url = f"https://example.org/coref/{i:05d}"
+        p = persons[int(rng.integers(len(persons)))]
+        same = [x for x in by_last[p["last"]] if x is not p]
+        q = same[0] if same else persons[int(rng.integers(len(persons)))]
+        pat = i % 5
+        if pat == 0:
+            events = [([p["last"]], p["topic"]),
+                      (p["label"].split(" "), p["topic"]),
+                      ([p["last"]], None)]
+        elif pat == 1:
+            events = [(p["label"].split(" "), p["topic"]),
+                      ([p["last"]], p["topic"])]
+        elif pat == 2:
+            events = [([p["last"]], p["topic"])]
+        elif pat == 3:
+            events = [(p["label"].split(" "), p["topic"]),
+                      ([p["last"]], None),
+                      (q["label"].split(" "), q["topic"]),
+                      ([p["last"]], None)]
+        else:
+            events = [([p["last"]], None),
+                      (p["label"].split(" "), p["topic"]),
+                      (q["label"].split(" "), q["topic"])]
+        tokens, meta = [], []
+        for m_tokens, ctx in events:
+            tokens.extend(_FILLER[int(rng.integers(len(_FILLER)))]
+                          for _ in range(2 + int(rng.integers(0, 3))))
+            start_tok = len(tokens)
+            tokens.extend(m_tokens)
+            if ctx:
+                tokens.append(f"({ctx})")
+            meta.append((start_tok, len(m_tokens)))
+        tokens.extend(_FILLER[int(rng.integers(len(_FILLER)))]
+                      for _ in range(2))
+        text = " ".join(tokens) + "."
+        offs, pos = [], 0
+        for t in tokens:
+            offs.append(pos)
+            pos += len(t) + 1
+        docs_rows.append(dict(url=url, text=text))
+        for st, n in meta:
+            mtext = " ".join(tokens[st:st + n])
+            start = offs[st]
+            assert text[start:start + len(mtext)] == mtext
+            span_rows.append(dict(url=url, start=start, length=len(mtext),
+                                  mention_text=mtext))
+
+    _write(os.path.join(out_dir, "coref_docs.parquet"), docs_rows,
+           pa.schema([("url", pa.string()), ("text", pa.string())]))
+    _write(os.path.join(out_dir, "coref_spans.parquet"), span_rows,
+           pa.schema([("url", pa.string()), ("start", pa.int32()),
+                      ("length", pa.int32()),
+                      ("mention_text", pa.string())]))
+    cand_schema = pa.schema([
+        ("url", pa.string()), ("start", pa.int32()), ("qcode", pa.string()),
+        ("prob", pa.float64()), ("cand_source", pa.string()),
+        ("cand_rank", pa.int32()),
+    ])
+    for name, backward in (("expected_candidates_fwd", False),
+                           ("expected_candidates_back", True)):
+        rows = o.candidates_rows(span_rows, world["pem"],
+                                 world["human_qcodes"], backward=backward)
+        _write(os.path.join(out_dir, f"{name}.parquet"), rows, cand_schema)
+
+
+# --------------------------------------------------------------------------
 # wiki pages with raw anchors (S3/E10)
 # --------------------------------------------------------------------------
 
@@ -682,3 +780,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_bio_tags(out_dir, world, {"t1": 30}.get(tier, 150))
     gen_wikidata_dump(out_dir, world)
     gen_bpe(out_dir, world, {"t1": 24}.get(tier, 120))
+    gen_coref_docs(out_dir, world, {"t1": 25}.get(tier, 100))

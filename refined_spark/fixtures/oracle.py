@@ -36,11 +36,31 @@ def sort_candidates(cands):
     return sorted(cands, key=lambda c: (-c[1], c[0]))
 
 
-def get_candidates_for_doc(spans, pem, human_qcodes):
+def get_candidates_for_doc(spans, pem, human_qcodes, backward=False):
     """spans: list of dicts with mention_text, sorted by start. Returns
     {(start): [(qcode, prob, source)]} following the reference's forward
-    coreference protocol (candidate_generator.py:37-121)."""
+    coreference protocol (candidate_generator.py:37-121).
+
+    ``backward=True`` replays the reference's 2-pass ``backward_coref``
+    (candidate_generator.py:123-159): a registration-only pre-pass over
+    the whole doc, then the normal forward loop."""
     person_coref: dict[str, list[tuple[str, float]]] = {}
+    if backward:
+        for sp in spans:
+            sf_norm = normalize_surface_form(sp["mention_text"],
+                                             remove_the=True)
+            direct = pem.get(sf_norm)
+            if direct is None:
+                continue
+            short_name_cands = [
+                (q, min(p, config.PERSON_COREF_PEM_CAP))
+                for q, p in direct
+                if q in human_qcodes and p > config.PERSON_COREF_PEM_MIN
+            ]
+            words = sf_norm.split(" ")
+            if short_name_cands and len(words) > 1:
+                for w in words:
+                    person_coref[w] = short_name_cands
     out = {}
     for sp in spans:
         sf_norm = normalize_surface_form(sp["mention_text"], remove_the=True)
@@ -80,6 +100,26 @@ def get_candidates_for_doc(spans, pem, human_qcodes):
             cands = [(q, p, "direct") for q, p in direct]
         out[sp["start"]] = cands[: config.MAX_CANDIDATES]
     return out
+
+
+def candidates_rows(gold_spans, pem, human_qcodes, backward=False):
+    """Expected candidate rows (url, start, qcode, prob, cand_source,
+    cand_rank) over an arbitrary span corpus — the candidate-stage slice
+    of :func:`run_oracle`, parameterized on the coref direction so the
+    backward fixture gate has an independent sequential replay."""
+    spans_by_url: dict[str, list] = {}
+    for sp in gold_spans:
+        spans_by_url.setdefault(sp["url"], []).append(sp)
+    rows = []
+    for url in sorted(spans_by_url):
+        spans = sorted(spans_by_url[url], key=lambda s: s["start"])
+        cand_map = get_candidates_for_doc(spans, pem, human_qcodes,
+                                          backward=backward)
+        for sp in spans:
+            for rank, (q, p, src) in enumerate(cand_map[sp["start"]], 1):
+                rows.append(dict(url=url, start=sp["start"], qcode=q,
+                                 prob=p, cand_source=src, cand_rank=rank))
+    return rows
 
 
 def score_candidates(cands, ctx_word, emb_by_qcode, closure_by_qcode,

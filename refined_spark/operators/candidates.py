@@ -84,7 +84,8 @@ def direct_candidates(mentions: DataFrame, pem: DataFrame, entity: DataFrame,
 
 
 def with_person_coref(direct: DataFrame,
-                      mentions: DataFrame | None = None) -> DataFrame:
+                      mentions: DataFrame | None = None,
+                      backward: bool = False) -> DataFrame:
     """Person-name coreference, fully declarative (zero Python in the path).
 
     The reference threads a per-doc dict sequentially
@@ -116,6 +117,15 @@ def with_person_coref(direct: DataFrame,
 
     ``mentions``: pass the (persisted) mentions table to avoid a
     distinct() over the exploded candidate rows for the receiver side.
+
+    ``backward=True`` is the reference's 2-pass protocol
+    (candidate_generator.py:123-159 ``backward_coref``): a pre-pass
+    registers every strong human name first, so a receiver with no
+    registration BEFORE it falls back to the LAST registration in the
+    document (the pass-2 overwrites reproduce forward semantics whenever
+    an earlier registration exists). Declaratively that is one change:
+    the join keeps all (url, word) registrations and the per-mention
+    pick becomes coalesce(latest-before-receiver, latest-overall).
     """
     # keep null-qcode rows: a mention with no candidates must still reach
     # the scoring/link stage (explode_outer below re-emits it), so the
@@ -146,11 +156,10 @@ def with_person_coref(direct: DataFrame,
     else:
         recv = direct.select(*m_cols).distinct()
     recv = recv.where(~F.col("norm_sf").contains(" "))
-    joined = recv.join(
-        reg,
-        (recv.url == reg.url) & (recv.norm_sf == reg.word)
-        & (reg.start_reg < recv.start),
-    ).drop(reg.url)
+    join_cond = (recv.url == reg.url) & (recv.norm_sf == reg.word)
+    if not backward:
+        join_cond = join_cond & (reg.start_reg < recv.start)
+    joined = recv.join(reg, join_cond).drop(reg.url)
     # Shuffle-volume discipline: url and start are DERIVABLE from
     # mention_key (url ":" lpad(start,8)), so no shuffle below carries
     # them — they are recomputed from the key after the final exchange.
@@ -194,12 +203,23 @@ def with_person_coref(direct: DataFrame,
                  F.col("start_reg"),
              ))).alias("arr"))
     )
-    # latest registration wins; first occurrence per qcode; top-30
+    # latest registration wins; first occurrence per qcode; top-30.
+    # backward: latest-BEFORE-receiver if one exists (pass-2 overwrite),
+    # else latest in the whole document (the pre-pass residue).
+    if backward:
+        recv_start = "cast(substring(mention_key, -8, 8) as int)"
+        maxreg_expr = (
+            f"coalesce("
+            f"array_max(transform(filter(arr, c -> c.src_order = 1"
+            f" AND c.start_reg < {recv_start}), c -> c.start_reg)),"
+            f" array_max(transform(filter(arr, c -> c.src_order = 1),"
+            f" c -> c.start_reg)))")
+    else:
+        maxreg_expr = ("array_max(transform(filter(arr,"
+                       " c -> c.src_order = 1), c -> c.start_reg))")
     staged = (
         collected
-        .withColumn("maxreg", F.expr(
-            "array_max(transform(filter(arr, c -> c.src_order = 1),"
-            " c -> c.start_reg))"))
+        .withColumn("maxreg", F.expr(maxreg_expr))
         .withColumn("arr1", F.expr(
             "filter(arr, x -> x.qcode IS NOT NULL AND"
             " (x.src_order = 0 OR x.start_reg = maxreg))"))
@@ -223,13 +243,19 @@ def with_person_coref(direct: DataFrame,
     )
 
 
-def with_person_coref_python(direct: DataFrame) -> DataFrame:
+def with_person_coref_python(direct: DataFrame,
+                             backward: bool = False) -> DataFrame:
     """Sequential per-document coreference (reference-shaped protocol),
     kept as the cross-check implementation for tests.
 
     Input: output of :func:`direct_candidates`.
     Output: CANDIDATE_SCHEMA rows (cand_source in {'direct','coref'}),
     cand_rank 1-based in the canonical order, truncated to MAX_CANDIDATES.
+
+    ``backward=True`` replays the reference's literal 2-pass loop
+    (candidate_generator.py:123-159): pass 1 registers every strong human
+    name into the dict; pass 2 is the normal forward loop (its overwrites
+    restore forward semantics wherever an earlier registration exists).
     """
     per_mention = (
         direct.groupBy(*MENTION_COLS)
@@ -240,6 +266,19 @@ def with_person_coref_python(direct: DataFrame) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("start")
         person_coref: dict[str, list[tuple[str, float]]] = {}
+        if backward:
+            # pre-pass: registrations only (reads are discarded)
+            for row in pdf.itertuples(index=False):
+                shorts = [
+                    (c["qcode"], min(c["prob"], config.PERSON_COREF_PEM_CAP))
+                    for c in row.cands
+                    if c["qcode"] is not None and c["is_human"]
+                    and c["prob"] > config.PERSON_COREF_PEM_MIN
+                ]
+                words = row.norm_sf.split(" ")
+                if shorts and len(words) > 1:
+                    for w in words:
+                        person_coref[w] = shorts
         out = []
         for row in pdf.itertuples(index=False):
             direct_cands = [
@@ -292,11 +331,12 @@ def with_person_coref_python(direct: DataFrame) -> DataFrame:
 
 def generate_candidates(mentions: DataFrame, pem: DataFrame,
                         entity: DataFrame,
-                        broadcast_pem: bool = True) -> DataFrame:
+                        broadcast_pem: bool = True,
+                        backward: bool = False) -> DataFrame:
     """M2+M3+M4 composed."""
     return with_person_coref(
         direct_candidates(mentions, pem, entity, broadcast_pem=broadcast_pem),
-        mentions=mentions,
+        mentions=mentions, backward=backward,
     )
 
 
@@ -363,8 +403,16 @@ def _merge_rank_arrays(df: DataFrame) -> DataFrame:
 
 
 def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
-                             broadcast_pem: bool = True) -> DataFrame:
+                             broadcast_pem: bool = True,
+                             backward: bool = False) -> DataFrame:
     """M2+M3+M4 with array-native physics.
+
+    ``backward=True``: the reference's 2-pass coref protocol
+    (candidate_generator.py:123-159) — a receiver with no registration
+    before it takes the document's LAST registration instead of nothing.
+    Same two narrow shuffles; the join just keeps all (url, word)
+    registration rows and the pick becomes
+    coalesce(latest-before-receiver, latest-overall).
 
     Output: (mention_key, ctx_word, cand_arr) — one row PER MENTION, the
     final merged/deduped/top-30 candidate list in rank order.
@@ -423,16 +471,25 @@ def mention_candidate_arrays(mentions: DataFrame, pem_arrays: DataFrame,
 
     single = direct.where(~F.col("norm_sf").contains(" ")).select(
         "mention_key", "url", "start", "norm_sf", "ctx_word")
-    joined = single.join(
-        reg,
-        (single.url == reg.r_url) & (single.norm_sf == reg.word)
-        & (reg.start_reg < single.start),
-        "left",
-    )
+    join_cond = (single.url == reg.r_url) & (single.norm_sf == reg.word)
+    if not backward:
+        join_cond = join_cond & (reg.start_reg < single.start)
+    joined = single.join(reg, join_cond, "left")
+    if backward:
+        before = F.col("start_reg") < F.col("start")
+        pick = F.coalesce(
+            # latest registration before the receiver (pass-2 overwrite)
+            F.max_by(F.when(before, F.col("shorts")),
+                     F.when(before, F.col("start_reg"))),
+            # else the document's last registration (pre-pass residue)
+            F.max_by("shorts", "start_reg"),
+        )
+    else:
+        pick = F.max_by("shorts", "start_reg")
     latest = joined.groupBy("mention_key").agg(
         F.first("norm_sf").alias("norm_sf"),
         F.first("ctx_word").alias("ctx_word"),
-        F.max_by("shorts", "start_reg").alias("coref_arr"),
+        pick.alias("coref_arr"),
     )
     single_full = attach(latest).select(
         "mention_key", "norm_sf", "ctx_word", "pem_arr", "coref_arr")

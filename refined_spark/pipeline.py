@@ -140,6 +140,7 @@ def run_pipeline(
     gold_spans: DataFrame | None = None,
     extraction_guard_mod: int | None = 4096,
     emb_precision: str = "fp32",
+    backward_coref: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -211,7 +212,8 @@ def run_pipeline(
     # is the final cluster aggregation.
     pem_arrays = pem_surface_arrays(t["pem"], t["entity"])
     cand_arr = mention_candidate_arrays(
-        mentions, pem_arrays, broadcast_pem=broadcast_pem)
+        mentions, pem_arrays, broadcast_pem=broadcast_pem,
+        backward=backward_coref)
     weights = load_weights(t["ed_weights"])
     # The distinct (surface, ctx) pairs drive BOTH broadcast builds
     # (feature map + pair logits). Persisted because each broadcast
