@@ -8,7 +8,9 @@ batched numpy, never per-row Python.
 Scale notes:
 - exact: one groupBy on a 128-bit content hash (md5) — pre-aggregated
   map-side, skew-free (hashes are uniform).
-- MinHash-LSH: per-doc signature (vectorized numpy) → explode to
+- MinHash-LSH: per-doc signature (pure JVM codegen — one xxhash64 per
+  shingle, fixed-width re-hash per permutation; fuses into the scan, no
+  Python anywhere on the doc-dedup path) → explode to
   (band_key, doc) → self-join within band buckets. Candidate pairs are
   bounded per band bucket; the band key is uniform by construction, so the
   shuffle is balanced. This is the same bounding trick the north_rule
@@ -25,11 +27,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 
 from .. import config
 
@@ -184,18 +183,79 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        num_perm: int = config.MINHASH_PERMS,
                        k: int = config.SHINGLE_K) -> DataFrame:
-    @pandas_udf(ArrayType(LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _minhash_sig(t or "", num_perm, k))
+    """Per-doc MinHash signature, entirely JVM-side — no Python, no
+    Arrow crossing, and (the part that matters) NO higher-order array
+    lambdas on the per-shingle path: Spark evaluates HOF lambdas
+    interpreted, per element, which measured ~100x slower than the same
+    math inside whole-stage codegen.
 
-    return docs.select(F.col(id_col).alias("id"),
-                       sig_udf(F.col(text_col)).alias("sig"))
+    Physical shape: explode shingles -> xxhash64 per shingle -> ONE
+    codegen hash aggregation per id whose ``num_perm`` buffers each take
+    ``min(xxhash64(h, i))`` — the i-th "permutation" is a fixed-width
+    re-hash of the 64-bit shingle hash, so per-perm cost is independent
+    of shingle length and the whole explode→hash→partial-min pipeline is
+    a single generated loop fused into the scan. The explode adds no
+    shuffle (a doc's shingle rows stay in its scan partition) and
+    map-side partial aggregation collapses them to ONE row per doc per
+    partition before the exchange, so shuffle bytes are signature-scale,
+    not shingle-scale.
+
+    min under any fixed total order of a uniform hash is a valid minwise
+    family, so signed-long order is fine. Empty/whitespace-only text
+    keeps the zero-signature convention of the Python helper
+    (_minhash_sig, retained for the M6 surface-form blocking UDF where a
+    per-process memo beats codegen on Zipf-repeated short strings).
+
+    ANSI note: the classic (a*h + b) mod 2^64 permutation family would
+    throw under spark.sql.ansi.enabled on bigint overflow; the re-hash
+    family needs no arithmetic at all.
+    """
+    words = (f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
+             f" w -> w != '')")
+    # each WORD is hashed once; a k-gram shingle's hash mixes the k word
+    # hashes with one fixed-width xxhash64 — no per-shingle string
+    # materialization (concat_ws inside the lambda was the inner cost).
+    # mirror _shingles: < k words -> ONE whole-text shingle; duplicates
+    # are kept (min() is dedup-invariant, array_distinct would be waste).
+    # empty text -> one NULL shingle row, so the doc keeps a groupBy row
+    # and gets the zero signature via the coalesce below.
+    mix_args = ", ".join(f"element_at(wh, i + {j})" for j in range(k))
+    shingle_hashes = (
+        f"CASE WHEN size(wh) = 0 THEN array(cast(null as bigint)) "
+        f"WHEN size(wh) < {k} THEN"
+        f" array(xxhash64(concat_ws(' ', w))) "
+        f"ELSE transform(sequence(1, size(wh) - {k - 1}),"
+        f" i -> xxhash64({mix_args})) END")
+    hashed = (
+        docs.select(F.col(id_col).alias("id"), F.expr(words).alias("w"))
+        .select("id", "w",
+                F.expr("transform(w, x -> xxhash64(x))").alias("wh"))
+        .select("id", F.explode(F.expr(shingle_hashes)).alias("h")))
+    # xxhash64 SKIPS null inputs (it would hash just the perm index and
+    # give empty docs a non-null slot), so the null sentinel is gated
+    h_ok = F.col("h").isNotNull()
+    mins = hashed.groupBy("id").agg(
+        *[F.min(F.when(h_ok, F.xxhash64("h", F.lit(i)))).alias(f"m{i}")
+          for i in range(num_perm)])
+    zero = F.lit(0).cast("long")
+    return mins.select(
+        "id",
+        F.array(*[F.coalesce(F.col(f"m{i}"), zero)
+                  for i in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame,
                         bands: int = config.MINHASH_BANDS) -> DataFrame:
     """Band the signature, bucket-join within bands → (id_a, id_b) distinct
     candidate pairs (id_a < id_b)."""
+    # persist the SIGNATURE frame: sig is a plain (inlinable) Column
+    # expression since the JVM rewrite, so without a materialization
+    # barrier Catalyst would re-evaluate the full per-shingle hash chain
+    # once per band × once per join side. Rows are (id, num_perm longs):
+    # signature-sized even at 10^9 docs (a cluster job would checkpoint
+    # this as a stage table). The derived band expr below is 8 cheap
+    # fixed-width hashes per cached row per consumer.
+    signatures = signatures.persist()
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(
@@ -220,12 +280,6 @@ def lsh_candidate_pairs(signatures: DataFrame,
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"),
              F.col("bk.bucket").alias("bucket"))
-    # persist: the band frame feeds BOTH sides of the self-join, and a
-    # broadcast-hash plan computes each side independently (no exchange
-    # to reuse) — without this the Python MinHash UDF upstream runs
-    # twice. Rows are (id, 2 longs): cache stays signature-sized even at
-    # 10^9 docs (a cluster job would checkpoint this as a stage table).
-    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
