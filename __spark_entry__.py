@@ -421,6 +421,30 @@ def q_candidates(spark, sf):
     ).orderBy("url", "start", "cand_rank")
 
 
+def q_ingest_resume(spark, sf):
+    """Multipart/resumable ingest analog (reference refined_api.py:55-167):
+    the fixture corpus is split into 3 parts, landed through the durable
+    part-manifest protocol WITH a mid-flight uploader retry (idempotent
+    re-submission of a committed part), finalized against declared
+    expected counts, and read back as one table — which must equal the
+    straight read (the multipart path is transport, not transformation)."""
+    import tempfile
+
+    from refined_spark.ingest import MultipartIngest
+
+    docs = _fx(spark, sf, "documents")
+    ing = MultipartIngest(spark, tempfile.mkdtemp(prefix="rs_ingest_"))
+    parts = [docs.where(F.expr(f"pmod(xxhash64(url), 3) = {i}"))
+             for i in range(3)]
+    job = ing.begin(expected_parts=3, expected_rows=docs.count())
+    ing.add_part(job, 0, parts[0])
+    ing.add_part(job, 0, parts[0])  # retry: must be a skipped no-op
+    ing.add_part(job, 1, parts[1])
+    ing.add_part(job, 2, parts[2])
+    ing.finalize(job)
+    return ing.read(job).select("url", "lang").orderBy("url")
+
+
 def q_candidates_backward(spark, sf):
     """M3 backward_coref (reference candidate_generator.py:123-159): the
     2-pass person-coref protocol — a receiver with no registration before
@@ -933,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (round-2 judge directive)."""
     return {
         # --- never driver-verified (round-2 tail + new) — run first ---
+        "ingest_resume": q_ingest_resume,
         "candidates_backward": q_candidates_backward,
         "media_features": q_media_features,
         "simhash": q_simhash,
@@ -1650,6 +1675,10 @@ def oracle_sql() -> dict[str, str]:
             select url, start, qcode, prob, cand_source, cand_rank
             from read_parquet('{_fxp("expected_candidates_back")}')
             order by url, start, cand_rank
+        """,
+        "ingest_resume": f"""
+            select url, lang
+            from read_parquet('{_fxp("documents")}') order by url
         """,
         "links": f"""
             select url, start, pred_qcode
