@@ -62,15 +62,15 @@ def build_pem(link_counts: DataFrame,
     )
 
 
-def build_entity_index(pem: DataFrame) -> DataFrame:
-    """A2: distinct qcodes → dense 1-based surrogate (0 reserved for pad).
+def dense_index(keys: DataFrame, key_col: str, out_col: str,
+                base: int = 0) -> DataFrame:
+    """Distinct keys → dense contiguous LONG index (``base``-based) in
+    sorted-key order — two-pass dense ranking (the classic zipWithIndex
+    shape) instead of a global no-partition window, which funnels every
+    key through ONE task (33M qcodes at reference scale):
 
-    Two-pass dense ranking (the classic zipWithIndex shape) instead of a
-    global no-partition window — a ``Window.orderBy`` with no partition
-    key funnels all 33M reference-scale qcodes through ONE task:
-
-      1. range-partition the distinct qcodes (partitions are ordered,
-         contiguous qcode ranges),
+      1. range-partition the distinct keys (partitions are ordered,
+         contiguous key ranges),
       2. count rows per partition (a #partitions-sized aggregate),
       3. cumulative offsets via a window over the TINY counts frame,
       4. local row_number within each partition + broadcast offset join.
@@ -78,8 +78,8 @@ def build_entity_index(pem: DataFrame) -> DataFrame:
     The ranged frame is persisted so both passes see identical partition
     boundaries (range sampling re-draws on recompute).
     """
-    distinct = pem.select("qcode").distinct()
-    ranged = (distinct.repartitionByRange("qcode")
+    distinct = keys.select(key_col).distinct()
+    ranged = (distinct.repartitionByRange(key_col)
               .withColumn("pid", F.spark_partition_id())
               .persist())
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
@@ -87,11 +87,17 @@ def build_entity_index(pem: DataFrame) -> DataFrame:
         Window.unboundedPreceding, -1)
     offsets = counts.select(
         "pid", F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("off"))
-    w_local = Window.partitionBy("pid").orderBy("qcode")
+    w_local = Window.partitionBy("pid").orderBy(key_col)
     return (
         ranged.withColumn("local_rk", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "pid")
-        .select("qcode",
-                (F.col("off") + F.col("local_rk")).cast("long")
-                .alias("qcode_idx"))
+        .select(key_col,
+                (F.col("off") + F.col("local_rk") - 1 + base)
+                .cast("long").alias(out_col))
     )
+
+
+def build_entity_index(pem: DataFrame) -> DataFrame:
+    """A2: distinct qcodes → dense 1-based surrogate (0 reserved for
+    pad), via the two-pass :func:`dense_index`."""
+    return dense_index(pem, "qcode", "qcode_idx", base=1)

@@ -33,7 +33,7 @@ distinct index array per entity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -206,15 +206,19 @@ def write_fanout(parsed: DataFrame, out_dir: str) -> None:
 def class_vocab_from_edges(edges: DataFrame) -> DataFrame:
     """(class_name → dense 0-based class_idx), index = rank in the
     sorted distinct node-name list — the same deterministic rule the
-    entity fixtures use. The DAG is ~1.4k classes in the reference, so
-    the rank window over one tiny partition is not a scale concern."""
+    entity fixtures use. Runs through the same two-pass
+    :func:`~refined_spark.operators.pem_build.dense_index` as the A2
+    entity index (the DAG is ~1.4k classes in the reference, where a
+    global rank window was harmless — but there is no reason to keep a
+    single-task shape around for a vocabulary that can grow)."""
+    from .pem_build import dense_index
+
     nodes = (edges.select(F.col("child_class").alias("class_name"))
              .unionByName(edges.select(
                  F.col("parent_class").alias("class_name")))
              .distinct())
-    w = Window.orderBy("class_name")
-    return nodes.select(
-        "class_name", (F.row_number().over(w) - 1).alias("class_idx"))
+    return dense_index(nodes, "class_name", "class_idx").withColumn(
+        "class_idx", F.col("class_idx").cast("int"))
 
 
 def build_class_arrays(relations: DataFrame, edges: DataFrame) -> DataFrame:
