@@ -719,6 +719,22 @@ def q_ann_cosine_topk(spark, sf):
         "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
 
 
+def q_ann_ivf(spark, sf):
+    """IVF-flat ANN: stride-31 sampled coarse quantizer (17 inverted
+    lists on the sf0.01 fixture), queries probe their 4 nearest lists,
+    exact re-score within probed lists. The DuckDB oracle replays the
+    identical structure (stride sample -> argmin assignment -> probe ->
+    cosine rank); nprobe >= n_centroids degenerating to the exact search
+    is pytest-gated."""
+    from refined_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 8")
+    return ivf_topk(queries, emb, k=3, stride=31, nprobe=4).select(
+        "query_id", "neighbor_id", "nn_rank").orderBy(
+        "query_id", "nn_rank")
+
+
 def q_lang_id(spark, sf):
     from refined_spark.operators.textstats import with_lang_id
 
@@ -959,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified (round-2 tail + new) — run first ---
         "ingest_resume": q_ingest_resume,
         "candidates_backward": q_candidates_backward,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1677,6 +1694,51 @@ def oracle_sql() -> dict[str, str]:
         "ingest_resume": f"""
             select url, lang
             from read_parquet('{_fxp("documents")}') order by url
+        """,
+        "ann_ivf": """
+            with e as (
+              select vec_id, embedding::DOUBLE[] as v,
+                     sqrt(list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) as nrm
+              from embeddings
+            ), cents as (
+              select vec_id as cid, v as cvec, nrm as cn from e
+              where vec_id % 31 = 0
+            ), inv as (
+              select vec_id as nid, cid from (
+                select e.vec_id, c.cid,
+                       row_number() over (partition by e.vec_id
+                         order by list_inner_product(e.v, c.cvec)
+                           / greatest(e.nrm * c.cn, 1e-12) desc, c.cid)
+                         as rk
+                from e, cents c
+              ) where rk = 1
+            ), probes as (
+              select vec_id as qid, cid from (
+                select e.vec_id, c.cid,
+                       row_number() over (partition by e.vec_id
+                         order by list_inner_product(e.v, c.cvec)
+                           / greatest(e.nrm * c.cn, 1e-12) desc, c.cid)
+                         as rk
+                from e, cents c where e.vec_id < 8
+              ) where rk <= 4
+            ), cand as (
+              select distinct p.qid, i.nid
+              from probes p join inv i using (cid)
+              where p.qid <> i.nid
+            ), scored as (
+              select qid, nid,
+                     list_inner_product(a.v, b.v)
+                       / greatest(a.nrm * b.nrm, 1e-12) as cos
+              from cand
+              join e a on a.vec_id = qid
+              join e b on b.vec_id = nid
+            )
+            select qid as query_id, nid as neighbor_id,
+                   cast(row_number() over (partition by qid
+                        order by cos desc, nid) as int) as nn_rank
+            from scored qualify nn_rank <= 3
+            order by query_id, nn_rank
         """,
         "links": f"""
             select url, start, pred_qcode

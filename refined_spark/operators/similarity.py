@@ -7,6 +7,12 @@
   gets a b-bit signature; candidates = same-bucket pairs, re-scored
   exactly. At 10^9+ vectors the cross join disappears and the shuffle is
   bounded per bucket (same banding idea as MinHash-LSH).
+- IVF-flat ANN: corpus vectors land in one inverted list each (nearest
+  centroid of a broadcast coarse quantizer); queries probe nprobe lists
+  and re-score exactly. Deterministic stride-sampled centroids for the
+  cross-engine oracle gate; declarative Lloyd refinement (ivf_refine)
+  as the trained upgrade. nprobe >= n_centroids degenerates to the
+  exact search — the exactness property the tests pin.
 
 Embeddings stay float; norms are precomputed once per side of the join.
 """
@@ -176,6 +182,134 @@ def ann_recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
         "n_hit", "n_exact",
         (F.col("n_hit").cast("double") / F.col("n_exact"))
         .alias("recall_at_k"))
+
+
+def ivf_centroids(corpus: DataFrame, stride: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer — deterministic stride sample: every
+    ``stride``-th vector id is a centroid (cid = its vector id). A
+    sampled quantizer is the standard cold-start for IVF at scale (and
+    the only choice whose oracle replay is byte-exact: a trained
+    centroid is a float MEAN whose summation order differs between
+    engines); :func:`ivf_refine` provides the Lloyd-trained upgrade for
+    deployments that don't need cross-engine bit-stability."""
+    return corpus.where(F.pmod(F.col(id_col), F.lit(stride)) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, nprobe: int = 1,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cid, probe_rank) of each row's ``nprobe`` nearest centroids
+    by cosine (ties by cid). The centroid table is a broadcast dimension
+    table; the scored frame drops vectors BEFORE the rank window so the
+    only shuffle carries (id, cid, cos) triples."""
+    c = F.broadcast(with_norm(centroids.select("cid", "cvec"),
+                              "cvec", "cn"))
+    v = with_norm(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("vec")), "vec", "vn")
+    scored = v.join(c).select(
+        "id", "cid",
+        (_dot(F.col("vec"), F.col("cvec"))
+         / F.greatest(F.col("vn") * F.col("cn"), F.lit(1e-12)))
+        .alias("ccos"))
+    w = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (scored.withColumn("probe_rank", F.row_number().over(w))
+            .where(F.col("probe_rank") <= nprobe)
+            .select("id", "cid", "probe_rank"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, stride: int,
+             nprobe: int = 4, centroids: DataFrame | None = None,
+             query_id: str = "vec_id", corpus_id: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: corpus vectors land in ONE inverted list each
+    (nearest centroid); a query probes its ``nprobe`` nearest lists and
+    re-scores those candidates exactly. Returns (query_id, neighbor_id,
+    cosine, nn_rank <= k).
+
+    Scale shape: the centroid table is broadcast (dimension-sized); the
+    inverted-list assignment is one map pass over the corpus; the
+    probe→list join is an equi-join on cid whose fan-in per task is one
+    list — no cross join anywhere. Recall is tuned by nprobe;
+    ``nprobe >= n_centroids`` probes every list and is EXACTLY
+    :func:`cosine_topk` (the property the pytest gate checks)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, stride, id_col=corpus_id, vec_col=vec_col)
+    inv = ivf_assign(corpus, cents, nprobe=1, id_col=corpus_id,
+                     vec_col=vec_col).select(
+        F.col("id").alias("nid"), "cid")
+    probes = ivf_assign(queries, cents, nprobe=nprobe, id_col=query_id,
+                        vec_col=vec_col).select(
+        F.col("id").alias("qid"), "cid")
+    cand = (probes.join(inv, "cid")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid").distinct())
+    c = with_norm(corpus.select(F.col(corpus_id).alias("id"),
+                                F.col(vec_col).alias("vec")), "vec", "n")
+    scored = (
+        cand.join(c.select(F.col("id").alias("qid"),
+                           F.col("vec").alias("qvec"),
+                           F.col("n").alias("qn")), "qid")
+        .join(c.select(F.col("id").alias("nid"),
+                       F.col("vec").alias("nvec"),
+                       F.col("n").alias("nn")), "nid")
+        .select("qid", "nid",
+                (_dot(F.col("qvec"), F.col("nvec"))
+                 / F.greatest(F.col("qn") * F.col("nn"), F.lit(1e-12)))
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select(F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"), "cosine", "nn_rank")
+    )
+
+
+def ivf_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Lloyd refinement of the coarse quantizer, fully declarative: each
+    iteration assigns every vector to its nearest centroid (broadcast
+    join) and recomputes each centroid as the elementwise mean of its
+    members — posexplode to (cid, pos, component), groupBy(cid, pos)
+    avg (centroid-count x dim rows: tiny), re-assemble arrays. No MLlib,
+    no driver-side vectors; per iteration one corpus map pass + one
+    dimension-sized aggregation."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, nprobe=1, id_col=id_col,
+                              vec_col=vec_col)
+        members = assigned.join(
+            corpus.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec")), "id")
+        comp = members.select(
+            "cid", F.posexplode("vec").alias("pos", "x"))
+        means = comp.groupBy("cid", "pos").agg(
+            F.avg(F.col("x").cast("double")).alias("m"))
+        cents = means.groupBy("cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, m))),"
+                   " s -> s.m)").alias("cvec"))
+    return cents
+
+
+def ivf_inertia(corpus: DataFrame, centroids: DataFrame,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> float:
+    """Mean cosine DISTANCE (1 - cos) to the assigned centroid — the
+    objective the Lloyd gate checks is non-increasing."""
+    c = F.broadcast(with_norm(centroids.select("cid", "cvec"),
+                              "cvec", "cn"))
+    v = with_norm(corpus.select(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("vec")), "vec", "vn")
+    best = v.join(c).select(
+        "id",
+        (_dot(F.col("vec"), F.col("cvec"))
+         / F.greatest(F.col("vn") * F.col("cn"), F.lit(1e-12)))
+        .alias("ccos")).groupBy("id").agg(F.max("ccos").alias("best"))
+    return float(best.agg(F.avg(1 - F.col("best"))).collect()[0][0])
 
 
 def ann_topk_lsh(corpus: DataFrame, k: int, dim: int, bits: int = 12,
