@@ -990,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         # --- new this round ---
         "number_detect": q_number_detect,
+        "textstats": q_textstats,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1025,7 +1026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lang_id": q_lang_id,
-        "textstats": q_textstats,
         # --- generic relational (green r1 AND r2) — sacrificial tail ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,

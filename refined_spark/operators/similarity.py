@@ -236,8 +236,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, stride: int,
     :func:`cosine_topk` (the property the pytest gate checks)."""
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, stride, id_col=corpus_id, vec_col=vec_col)
-    inv = ivf_assign(corpus, cents, nprobe=1, id_col=corpus_id,
-                     vec_col=vec_col).select(
+    # one normed corpus pass persisted: it feeds the inverted-list
+    # assignment AND both exact re-score attaches — unpersisted, the
+    # corpus would be scanned (and norms recomputed) once per subtree,
+    # which at 10^9 vectors is 3 full-table reads instead of 1
+    c = with_norm(corpus.select(F.col(corpus_id).alias("id"),
+                                F.col(vec_col).alias("vec")),
+                  "vec", "n").persist()
+    inv = ivf_assign(c, cents, nprobe=1, id_col="id",
+                     vec_col="vec").select(
         F.col("id").alias("nid"), "cid")
     probes = ivf_assign(queries, cents, nprobe=nprobe, id_col=query_id,
                         vec_col=vec_col).select(
@@ -245,8 +252,6 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, stride: int,
     cand = (probes.join(inv, "cid")
             .where(F.col("qid") != F.col("nid"))
             .select("qid", "nid").distinct())
-    c = with_norm(corpus.select(F.col(corpus_id).alias("id"),
-                                F.col(vec_col).alias("vec")), "vec", "n")
     scored = (
         cand.join(c.select(F.col("id").alias("qid"),
                            F.col("vec").alias("qvec"),
