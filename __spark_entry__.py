@@ -719,6 +719,38 @@ def q_ann_cosine_topk(spark, sf):
         "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
 
 
+def q_partitioned_scan(spark, sf):
+    """North-rule corpus source: date-partitioned layout + bounded read
+    with partition pruning (the hive-parquet analog of the Iceberg
+    days(warc_ts) spec, sources/iceberg.py). The fixture corpus is one
+    crawl-day, so a deterministic 7-day spread is derived from the url's
+    page number (replayable in DuckDB), written partitioned, and read
+    back date-bounded; the entry ASSERTS the scan shows a warc_date
+    PartitionFilter before returning rows, so the driver row gates the
+    pruning evidence itself."""
+    import tempfile
+
+    from refined_spark.sources.iceberg import (
+        read_documents_partitioned,
+        scan_partition_filters,
+        write_documents_partitioned,
+    )
+
+    docs = _fx(spark, sf, "documents").withColumn(
+        "warc_ts",
+        F.expr("timestampadd(DAY, cast(pmod(cast(substring(url, -7) as"
+               " int), 7) as int), warc_ts)"))
+    path = tempfile.mkdtemp(prefix="rs_part_")
+    write_documents_partitioned(docs, path)
+    out = read_documents_partitioned(spark, path,
+                                     start_date="2025-01-02",
+                                     end_date="2025-01-05")
+    plan = scan_partition_filters(out)
+    tail = plan.split("PartitionFilters: [", 1)
+    assert len(tail) == 2 and "warc_date" in tail[1][:200], plan[:500]
+    return out.select("url", "lang").orderBy("url")
+
+
 def q_ann_ivf(spark, sf):
     """IVF-flat ANN: stride-31 sampled coarse quantizer (17 inverted
     lists on the sf0.01 fixture), queries probe their 4 nearest lists,
@@ -976,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_resume": q_ingest_resume,
         "candidates_backward": q_candidates_backward,
         "ann_ivf": q_ann_ivf,
+        "partitioned_scan": q_partitioned_scan,
         "media_features": q_media_features,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1694,6 +1727,18 @@ def oracle_sql() -> dict[str, str]:
         "ingest_resume": f"""
             select url, lang
             from read_parquet('{_fxp("documents")}') order by url
+        """,
+        "partitioned_scan": f"""
+            with shifted as (
+              select url, lang,
+                     warc_ts + (cast(substring(url, length(url) - 6)
+                                as int) % 7) * interval 1 day as ts
+              from read_parquet('{_fxp("documents")}')
+            )
+            select url, lang from shifted
+            where cast(ts as date) >= date '2025-01-02'
+              and cast(ts as date) < date '2025-01-05'
+            order by url
         """,
         "ann_ivf": """
             with e as (
