@@ -719,6 +719,25 @@ def q_ann_cosine_topk(spark, sf):
         "query_id", "neighbor_id", "nn_rank").orderBy("query_id", "nn_rank")
 
 
+def q_dedup_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (the last named dedup mode of the
+    build brief): band-OR hyperplane candidates + exact cosine verify at
+    tau, undirected (id_a < id_b). The DuckDB oracle replays the
+    identical plane literals, banding, candidate join and verify, so
+    the probabilistic candidate set is compared structure-for-structure
+    (same trick as ann_banded)."""
+    from refined_spark.operators.similarity import cosine_near_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # the gaussian fixture is deliberately low-contrast (max pairwise
+    # cosine ~ 0.51) — tau = 0.35 keeps the gate non-vacuous (~100 true
+    # pairs); real near-dup corpora run tau >= 0.9 where banded recall
+    # exceeds 0.998 (see cosine_near_pairs docstring)
+    return cosine_near_pairs(emb, tau=0.35, dim=dim).select(
+        "id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def q_partitioned_scan(spark, sf):
     """North-rule corpus source: date-partitioned layout + bounded read
     with partition pruning (the hive-parquet analog of the Iceberg
@@ -1009,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates_backward": q_candidates_backward,
         "ann_ivf": q_ann_ivf,
         "partitioned_scan": q_partitioned_scan,
+        "dedup_cosine": q_dedup_cosine,
         "media_features": q_media_features,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1727,6 +1747,13 @@ def oracle_sql() -> dict[str, str]:
         "ingest_resume": f"""
             select url, lang
             from read_parquet('{_fxp("documents")}') order by url
+        """,
+        "dedup_cosine": f"""
+            with {_ann_banded_ctes()}
+            select qid as id_a, nid as id_b
+            from rescored
+            where qid < nid and cos >= 0.35
+            order by id_a, id_b
         """,
         "partitioned_scan": f"""
             with shifted as (

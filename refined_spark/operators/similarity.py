@@ -184,6 +184,59 @@ def ann_recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
         .alias("recall_at_k"))
 
 
+def cosine_near_pairs(corpus: DataFrame, tau: float, dim: int,
+                      bits: int = 32, n_bands: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (the dedup-shaped variant of the
+    ANN search): band-OR hyperplane candidates, exact cosine verify at
+    ``tau``, undirected output (id_a < id_b, cosine >= tau).
+
+    Same physics as :func:`ann_topk_banded` — bucket-bounded band
+    self-join, one exact re-score per surviving pair, no cross join —
+    but the output is the near-duplicate PAIR SET a dedup pipeline
+    consumes (survivor picking = min id per connected component via the
+    clustering operator), not per-query top-k. Recall at tau follows
+    1-(1-p^r)^n_bands with p = 1 - theta/pi; at dedup-grade tau (>= 0.9,
+    p >= 0.90) the default 8x4 banding sits above 0.998."""
+    assert bits % n_bands == 0
+    r = bits // n_bands
+    mask = (1 << r) - 1
+    sigs = hyperplane_signatures(corpus, dim=dim, bits=bits,
+                                 id_col=id_col, vec_col=vec_col)
+    bands = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.shiftright("bucket", j * r).bitwiseAND(mask)
+                     .alias("band_key"))
+            for j in range(n_bands)])).alias("b"),
+    ).select("id", "b.band_idx", "b.band_key").persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    c = with_norm(corpus.select(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("vec")), "vec", "n")
+    return (
+        cand.join(c.select(F.col("id").alias("id_a"),
+                           F.col("vec").alias("va"),
+                           F.col("n").alias("na")), "id_a")
+        .join(c.select(F.col("id").alias("id_b"),
+                       F.col("vec").alias("vb"),
+                       F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b",
+                (_dot(F.col("va"), F.col("vb"))
+                 / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)))
+                .alias("cosine"))
+        .where(F.col("cosine") >= tau)
+    )
+
+
 def ivf_centroids(corpus: DataFrame, stride: int, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantizer — deterministic stride sample: every

@@ -165,3 +165,29 @@ def test_ann_banded_vs_numpy(spark):
     assert rec["n_exact"] == 40 * 3
     assert 0.0 <= rec["recall_at_k"] <= 1.0
     assert rec["n_hit"] == round(rec["recall_at_k"] * rec["n_exact"])
+
+
+def test_cosine_near_pairs_sound_and_bounded(spark, sf01):
+    """Every returned pair is truly >= tau (exact verify), undirected,
+    and a subset of the brute-force >= tau pair set."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from refined_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf01, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    got = cosine_near_pairs(emb, tau=0.35, dim=dim).collect()
+    for r in got:
+        assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.35
+    # brute-force truth: all-pairs via cosine_topk with k = corpus size
+    n = emb.count()
+    exact = cosine_topk(emb, emb, k=n).where(
+        (F.col("cosine") >= 0.35) & (F.col("query_id") < F.col("neighbor_id")))
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs <= truth and pairs  # non-vacuous on the fixture
