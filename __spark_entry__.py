@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_pairs": q_cluster_pairs,
         "type_prune": q_type_prune,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
         "stream_window_counts": q_stream_window_counts,
         # --- new this round ---
         "number_detect": q_number_detect,
@@ -1076,7 +1077,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_results_page": q_job_results_page,
         "job_metrics": q_job_metrics,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lang_id": q_lang_id,
         # --- generic relational (green r1 AND r2) — sacrificial tail ---
