@@ -191,9 +191,14 @@ def cancel_run(run_dir: str) -> None:
 def run_pipeline_checkpointed(
     spark: SparkSession, fixture_dir: str, run_dir: str,
     mode: str = "spans",
+    backward_coref: bool = False,
 ) -> dict:
     """The production entry point: same stages as run_pipeline, but each
-    stage materialized + manifested, resumable mid-pipeline."""
+    stage materialized + manifested, resumable mid-pipeline.
+
+    ``backward_coref`` folds into the run fingerprint: a run_dir
+    checkpointed under one coref protocol recomputes (not resumes) the
+    candidate stage and everything after it under the other."""
     from .operators.candidates import (
         mention_candidate_arrays,
         pem_surface_arrays,
@@ -206,7 +211,8 @@ def run_pipeline_checkpointed(
 
     t = load_tables(spark, fixture_dir)
     runner = CheckpointRunner(
-        spark, run_dir, run_inputs=dict(fixture_dir=fixture_dir, mode=mode))
+        spark, run_dir, run_inputs=dict(fixture_dir=fixture_dir, mode=mode,
+                                        backward_coref=backward_coref))
 
     def build_mentions():
         if mode == "spans":
@@ -228,7 +234,8 @@ def run_pipeline_checkpointed(
     candidates = runner.stage(
         "candidates",
         lambda: mention_candidate_arrays(
-            mentions, pem_surface_arrays(t["pem"], t["entity"])))
+            mentions, pem_surface_arrays(t["pem"], t["entity"]),
+            backward=backward_coref))
     weights = load_weights(t["ed_weights"])
     links = runner.stage(
         "links",
