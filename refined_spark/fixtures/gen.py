@@ -23,7 +23,6 @@ reproduces ``text`` byte-identically (the invariant is asserted at gen time).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil

@@ -8,7 +8,6 @@ from refined_spark.operators.blocking import (
     salted_candidate_join,
     with_block_keys,
 )
-from refined_spark.operators.candidates import direct_candidates
 
 
 def _mentions(spark, rows):

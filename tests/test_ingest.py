@@ -2,7 +2,6 @@
 idempotent parts, durable resume state, finalize validation, and the
 finalized corpus feeding the pipeline unchanged."""
 
-import json
 import os
 
 import pyspark.sql.functions as F
