@@ -960,6 +960,27 @@ def q_media_features(spark, sf):
     ).orderBy("media_id")
 
 
+def q_media_resize(spark, sf):
+    """Multimodal nearest-neighbor resize plumbing (image rows only; the
+    kind filter is declarative so non-image payload bytes never reach
+    Python). Oracle: independent pure-Python per-pixel replay of the
+    documented truncation rule, written at fixture-gen time."""
+    from refined_spark.operators.multimodal import resize_media
+
+    media = _fx(spark, sf, "media")
+    return resize_media(media, out_w=4, out_h=4).orderBy("media_id")
+
+
+def q_media_frames(spark, sf):
+    """Multimodal uniform frame sampling (video rows -> one row per
+    sampled frame, the 1->N fan-out shape). Oracle: independent replay of
+    the endpoint-inclusive stride rule + shared frame-codec stub."""
+    from refined_spark.operators.multimodal import sample_frames
+
+    media = _fx(spark, sf, "media")
+    return sample_frames(media, n_frames=4).orderBy("media_id", "frame_idx")
+
+
 def q_type_prune(spark, sf):
     """F8 type pruning (minimal class set over the subclass DAG,
     reference inference/processor.py:413-452): for each edge's child we
@@ -1024,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (round-2 judge directive)."""
     return {
         # --- never driver-verified (round-2 tail + new) — run first ---
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "ingest_resume": q_ingest_resume,
         "candidates_backward": q_candidates_backward,
         "ann_ivf": q_ann_ivf,
@@ -1064,10 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "topk_links": q_topk_links,
         "class_check": q_class_check,
-        "clusters": q_clusters,
         "pairwise_f1": q_pairwise_f1,
         "el_metrics": q_el_metrics,
-        "class_closure": q_class_closure,
         "block_sizes": q_block_sizes,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
@@ -1079,6 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lang_id": q_lang_id,
+        # twice-green, modules untouched in r3 (their code paths are covered
+        # inside the window by cluster_pairs / type_prune)
+        "clusters": q_clusters,
+        "class_closure": q_class_closure,
         # --- generic relational (green r1 AND r2) — sacrificial tail ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,
@@ -2090,6 +2115,17 @@ def oracle_sql() -> dict[str, str]:
             select media_id, kind, feat_json, feat_dim, decode_ok
             from read_parquet('{_fxp("expected_media_features")}')
             order by media_id
+        """,
+        "media_resize": f"""
+            select media_id, kind, src_w, src_h, out_w, out_h,
+                   px_json, decode_ok
+            from read_parquet('{_fxp("expected_media_resize")}')
+            order by media_id
+        """,
+        "media_frames": f"""
+            select media_id, n_total_frames, frame_idx, ts_ms, frame_digest
+            from read_parquet('{_fxp("expected_media_frames")}')
+            order by media_id, frame_idx
         """,
         "link_extract": f"""
             with {_anchor_counts_cte()}

@@ -67,6 +67,71 @@ def gen_media(out_dir: str, n: int) -> None:
                ("decode_ok", pa.string()),
            ]))
 
+    # expected resize: INDEPENDENT nearest-neighbor replay — pure-Python
+    # per-pixel double loop over the documented rule src_i=(dst_i*src)//dst
+    # (the operator uses numpy index grids); codec stub shared (the seam).
+    import hashlib
+    import json
+
+    from ..operators.multimodal import (
+        FRAME_MS,
+        _decode_frame_impl,
+    )
+
+    out_w = out_h = 4
+    exp_rs = []
+    for r in rows:
+        if r["kind"] != "image":
+            continue
+        img = _decode_image_impl(r["payload"])
+        src_h, src_w = img.shape[0], img.shape[1]
+        px = []
+        for oy in range(out_h):
+            sy = (oy * src_h) // out_h
+            for ox in range(out_w):
+                sx = (ox * src_w) // out_w
+                for c in range(3):
+                    px.append(int(img[sy, sx, c]))
+        exp_rs.append(dict(media_id=r["media_id"], kind=r["kind"],
+                           src_w=src_w, src_h=src_h, out_w=out_w,
+                           out_h=out_h, px_json=json.dumps(px),
+                           decode_ok="ok"))
+    _write(os.path.join(out_dir, "expected_media_resize.parquet"), exp_rs,
+           pa.schema([
+               ("media_id", pa.string()), ("kind", pa.string()),
+               ("src_w", pa.int32()), ("src_h", pa.int32()),
+               ("out_w", pa.int32()), ("out_h", pa.int32()),
+               ("px_json", pa.string()), ("decode_ok", pa.string()),
+           ]))
+
+    # expected frame sampling: endpoint-inclusive uniform stride
+    # idx_i=(i*(T-1))//(n-1), deduped; digests recomputed from the shared
+    # frame-codec stub.
+    n_frames = 4
+    exp_fr = []
+    for r in rows:
+        if r["kind"] != "video":
+            continue
+        n_total = max(1, r["duration_ms"] // FRAME_MS)
+        if n_total <= 1:
+            idxs = [0]
+        else:
+            idxs = sorted({(i * (n_total - 1)) // (n_frames - 1)
+                           for i in range(n_frames)})
+        for fi in idxs:
+            frame = _decode_frame_impl(r["payload"], fi)
+            exp_fr.append(dict(
+                media_id=r["media_id"], n_total_frames=n_total,
+                frame_idx=fi, ts_ms=fi * FRAME_MS,
+                frame_digest=hashlib.sha256(
+                    frame.tobytes()).hexdigest()[:16]))
+    _write(os.path.join(out_dir, "expected_media_frames.parquet"), exp_fr,
+           pa.schema([
+               ("media_id", pa.string()), ("n_total_frames", pa.int32()),
+               ("frame_idx", pa.int32()), ("ts_ms", pa.int32()),
+               ("frame_digest", pa.string()),
+           ]))
+
 
 # --------------------------------------------------------------------------
 # date spans (E9)

@@ -118,7 +118,163 @@ def extract_media_features(media: DataFrame,
                 "decode_ok": oks,
             })
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    # explicit projection so the scan prunes to exactly the UDF's inputs
+    # (mapInPandas ships every column it is handed into Python)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# resize (images) and frame sampling (video) — the remaining two multimodal
+# verbs of the build brief ("decode / feature-extract / resize /
+# frame-sample"). Same stub-codec seam as extract_media_features: the
+# decode is a deterministic fake, the resize / sampling MATH and the Spark
+# plumbing (declarative kind filter pushed to the scan, mapInPandas
+# streaming, 1->N row fan-out for frames) are real.
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("src_w", IntegerType()),
+    StructField("src_h", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("px_json", StringType()),     # row-major RGB ints — oracle-able
+    StructField("decode_ok", StringType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("n_total_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", IntegerType()),
+    StructField("frame_digest", StringType()),  # sha256[:16] of frame bytes
+])
+
+#: stub codec frame rate: a fake video has duration_ms // FRAME_MS frames.
+FRAME_MS = 100
+
+
+def nn_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with the integer truncation rule
+    ``src_i = (dst_i * src) // dst`` (OpenCV INTER_NEAREST's scale-truncate;
+    exactly replayable in pure Python / SQL — no float rounding to match)."""
+    src_h, src_w = img.shape[:2]
+    ri = (np.arange(out_h) * src_h) // out_h
+    ci = (np.arange(out_w) * src_w) // out_w
+    return img[ri][:, ci]
+
+
+def resize_media(media: DataFrame, out_w: int = 4,
+                 out_h: int = 4) -> DataFrame:
+    """Decode + nearest-neighbor resize per IMAGE row.
+
+    The ``kind == 'image'`` filter is declarative (pushed to the scan, so
+    audio/video payload bytes are never shipped to Python); decode streams
+    Arrow batches through ``mapInPandas``. Output pixels surface as
+    row-major rounded-JSON so the fixture oracle can compare values.
+    Reference analog: preprocessing in
+    /root/reference/src/refined/inference/processor.py feeds fixed-shape
+    tensors the same way (resize-at-ingest, not at-score).
+    """
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "src_w", "src_h",
+                                   "px_json", "decode_ok")}
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    img = _decode_image_impl(payload)
+                    small = nn_resize(img, out_w, out_h)
+                    px = json.dumps(small.reshape(-1).tolist())
+                    src_h, src_w, ok = img.shape[0], img.shape[1], "ok"
+                except NotImplementedError:
+                    px, src_h, src_w, ok = None, None, None, "decode_unavailable"
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                out["src_w"].append(src_w)
+                out["src_h"].append(src_h)
+                out["px_json"].append(px)
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame({
+                "media_id": out["media_id"], "kind": out["kind"],
+                "src_w": pd.array(out["src_w"], dtype="Int32"),
+                "src_h": pd.array(out["src_h"], dtype="Int32"),
+                "out_w": out_w, "out_h": out_h,
+                "px_json": out["px_json"], "decode_ok": out["decode_ok"],
+            })
+
+    from pyspark.sql import functions as F
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def _decode_frame_impl(payload: bytes, frame_idx: int) -> np.ndarray:
+    """STUB: deterministic fake video-frame decode (replace with an ffmpeg
+    seek+decode in production). Frame = stable 8x8x3 array seeded from
+    (payload digest, frame index) so two samplings of the same frame agree
+    byte-for-byte."""
+    if payload is None:
+        raise NotImplementedError("no payload")
+    digest = hashlib.sha256(
+        bytes(payload) + int(frame_idx).to_bytes(4, "little")).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def uniform_frame_indices(n_total: int, n_frames: int) -> list[int]:
+    """Endpoint-inclusive uniform stride: ``idx_i = (i*(T-1)) // (n-1)``,
+    deduped (a short clip with T < n yields T rows, not padded repeats)."""
+    if n_total <= 1 or n_frames <= 1:
+        return [0]
+    return sorted({(i * (n_total - 1)) // (n_frames - 1)
+                   for i in range(n_frames)})
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling per VIDEO row: one OUTPUT row per sampled
+    frame (the 1->N fan-out shape a frame-level training pipeline needs).
+
+    Total frame count comes from the stub codec's duration rule
+    (``duration_ms // FRAME_MS``, i.e. 10 fps); a real decoder would read
+    it from the container header. Frames surface as short digests — the
+    decode bytes stay in the executor, only frame-scale metadata rows
+    shuffle, which is the property that matters at 10^9 videos.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_total_frames",
+                                    "frame_idx", "ts_ms", "frame_digest")}
+            for media_id, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n_total = max(1, int(dur) // FRAME_MS)
+                for fi in uniform_frame_indices(n_total, n_frames):
+                    frame = _decode_frame_impl(payload, fi)
+                    rows["media_id"].append(media_id)
+                    rows["n_total_frames"].append(n_total)
+                    rows["frame_idx"].append(fi)
+                    rows["ts_ms"].append(fi * FRAME_MS)
+                    rows["frame_digest"].append(
+                        hashlib.sha256(frame.tobytes()).hexdigest()[:16])
+            yield pd.DataFrame({
+                "media_id": rows["media_id"],
+                "n_total_frames": pd.array(rows["n_total_frames"],
+                                           dtype="Int32"),
+                "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                "ts_ms": pd.array(rows["ts_ms"], dtype="Int32"),
+                "frame_digest": rows["frame_digest"],
+            })
+
+    from pyspark.sql import functions as F
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms").mapInPandas(run, FRAME_SCHEMA)
 
 
 def synth_media_rows(n: int = 64) -> list[tuple]:

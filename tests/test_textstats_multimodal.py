@@ -56,3 +56,69 @@ def test_media_feature_plumbing(spark):
     # determinism
     again = extract_media_features(media, feat_dim=16).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_resize_media_nn_rule(spark):
+    import json
+
+    from refined_spark.operators.multimodal import (
+        _decode_image_impl,
+        resize_media,
+        synth_media_rows,
+    )
+
+    media = synth_media_table(spark, 12)
+    out = resize_media(media, out_w=4, out_h=4).collect()
+    images = [r for r in synth_media_rows(12) if r[1] == "image"]
+    assert len(out) == len(images) and len(out) > 0
+    by_id = {r["media_id"]: r for r in out}
+    # naive per-pixel replay of the truncation rule vs the numpy grids
+    for m_id, _k, payload, *_rest in images:
+        img = _decode_image_impl(bytes(payload))
+        want = []
+        for oy in range(4):
+            for ox in range(4):
+                sy, sx = (oy * img.shape[0]) // 4, (ox * img.shape[1]) // 4
+                want.extend(int(img[sy, sx, c]) for c in range(3))
+        r = by_id[m_id]
+        assert json.loads(r["px_json"]) == want
+        assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"],
+                r["decode_ok"]) == (8, 8, 4, 4, "ok")
+
+
+def test_sample_frames_stride_rule(spark):
+    from refined_spark.operators.multimodal import (
+        FRAME_MS,
+        sample_frames,
+        synth_media_rows,
+        uniform_frame_indices,
+    )
+
+    media = synth_media_table(spark, 24)
+    out = sample_frames(media, n_frames=4).collect()
+    videos = {r[0]: r for r in synth_media_rows(24) if r[1] == "video"}
+    assert {r["media_id"] for r in out} == set(videos)
+    groups: dict[str, list] = {}
+    for r in out:
+        groups.setdefault(r["media_id"], []).append(r)
+    for m_id, rows in groups.items():
+        n_total = max(1, videos[m_id][6] // FRAME_MS)
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == uniform_frame_indices(n_total, 4)
+        if n_total >= 4:
+            # endpoints included, exactly n_frames rows
+            assert idxs[0] == 0 and idxs[-1] == n_total - 1
+            assert len(idxs) == 4
+        for r in rows:
+            assert r["ts_ms"] == r["frame_idx"] * FRAME_MS
+            assert r["n_total_frames"] == n_total
+            assert len(r["frame_digest"]) == 16
+
+
+def test_uniform_frame_indices_edges():
+    from refined_spark.operators.multimodal import uniform_frame_indices
+
+    assert uniform_frame_indices(1, 4) == [0]          # single-frame clip
+    assert uniform_frame_indices(10, 1) == [0]         # single sample
+    assert uniform_frame_indices(2, 4) == [0, 1]       # T < n dedups
+    assert uniform_frame_indices(100, 4) == [0, 33, 66, 99]
