@@ -883,6 +883,28 @@ def q_stream_totals(spark, sf):
     return out.orderBy("event_type")
 
 
+def q_stream_links(spark, sf):
+    """REAL streaming execution of the flagship linking pipeline
+    (Trigger.AvailableNow file stream, 2 micro-batches): documents
+    arrive as files, every micro-batch runs extract → mentions →
+    candidates → score → link against once-built static resources, and
+    the accumulated sink equals the one-shot batch links — which is the
+    independently-generated expected_links fixture, the same oracle the
+    batch `links` entry gates on. Batch-boundary invariance is the
+    module contract (refined_spark/streaming/linking.py docstring)."""
+    from refined_spark.streaming.linking import (
+        split_documents,
+        streaming_links,
+    )
+
+    fx = ensure_fixtures(sf)
+    split = split_documents(
+        spark, os.path.join(fx, "documents.parquet"), 2)
+    out = streaming_links(spark, fx, split, mode="spans",
+                          max_files_per_trigger=1)
+    return out.select("url", "start", "pred_qcode").orderBy("url", "start")
+
+
 def q_simhash(spark, sf):
     """64-bit SimHash as two 32-bit halves — JVM codegen in Spark,
     bit-reproduced by DuckDB md5 + bit math (real value oracle)."""
@@ -1060,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "stream_dedup": q_stream_dedup,
         "stream_totals": q_stream_totals,
+        "stream_links": q_stream_links,
         "cluster_pairs": q_cluster_pairs,
         "type_prune": q_type_prune,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1094,16 +1117,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_link": q_table_link,
         "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
-        "table_coltype": q_table_coltype,
         "job_results_page": q_job_results_page,
         "job_metrics": q_job_metrics,
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lang_id": q_lang_id,
         # twice-green, modules untouched in r3 (their code paths are covered
-        # inside the window by cluster_pairs / type_prune)
+        # inside the window by cluster_pairs / type_prune / the three
+        # sibling tables.py gates)
         "clusters": q_clusters,
         "class_closure": q_class_closure,
+        "table_coltype": q_table_coltype,
         # --- generic relational (green r1 AND r2) — sacrificial tail ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,
@@ -1838,6 +1862,11 @@ def oracle_sql() -> dict[str, str]:
             order by query_id, nn_rank
         """,
         "links": f"""
+            select url, start, pred_qcode
+            from read_parquet('{_fxp("expected_links")}')
+            order by url, start
+        """,
+        "stream_links": f"""
             select url, start, pred_qcode
             from read_parquet('{_fxp("expected_links")}')
             order by url, start

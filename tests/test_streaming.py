@@ -130,3 +130,58 @@ def test_running_totals_state_across_batches(spark, tmp_path_factory):
     assert final == want
     # and state really spanned batches: more emissions than keys
     assert out.count() > len(want)
+
+
+def test_streaming_links_equals_batch(spark, fx_t1, tmp_path_factory):
+    """Streamed corpus (3 micro-batches) produces byte-identical links
+    to the one-shot batch pipeline — the batch-boundary-invariance
+    contract streaming_links' module docstring claims."""
+    from refined_spark.pipeline import run_pipeline
+    from refined_spark.streaming.linking import (
+        split_documents,
+        streaming_links,
+    )
+
+    res = run_pipeline(spark, fx_t1, mode="spans")
+    want = {tuple(r) for r in res["links"].select(
+        "url", "start", "pred_qcode").collect()}
+    res["unpersist"]()
+
+    split = split_documents(
+        spark, os.path.join(fx_t1, "documents.parquet"), 3,
+        dest=str(tmp_path_factory.mktemp("stream_docs")))
+    got_df = streaming_links(
+        spark, fx_t1, split, mode="spans", max_files_per_trigger=1,
+        out_dir=str(tmp_path_factory.mktemp("stream_links_out")))
+    got = {tuple(r) for r in got_df.select(
+        "url", "start", "pred_qcode").collect()}
+    assert got == want
+    # non-vacuous: the stream really ran as multiple micro-batches
+    n_parts = len([f for f in os.listdir(split) if f.endswith(".parquet")])
+    assert n_parts == 3
+
+
+def test_streaming_links_e2e_mode_matches_batch_e2e(spark, fx_t1,
+                                                    tmp_path_factory):
+    """Dictionary-MD mode streams too (no gold spans needed — the pure
+    per-document production shape)."""
+    from refined_spark.pipeline import run_pipeline
+    from refined_spark.streaming.linking import (
+        split_documents,
+        streaming_links,
+    )
+
+    res = run_pipeline(spark, fx_t1, mode="e2e")
+    want = {tuple(r) for r in res["links"].select(
+        "url", "start", "pred_qcode").collect()}
+    res["unpersist"]()
+
+    split = split_documents(
+        spark, os.path.join(fx_t1, "documents.parquet"), 2,
+        dest=str(tmp_path_factory.mktemp("stream_docs_e2e")))
+    got_df = streaming_links(
+        spark, fx_t1, split, mode="e2e", max_files_per_trigger=1,
+        out_dir=str(tmp_path_factory.mktemp("stream_links_e2e_out")))
+    got = {tuple(r) for r in got_df.select(
+        "url", "start", "pred_qcode").collect()}
+    assert got == want
