@@ -124,8 +124,14 @@ def cluster_mentions(links: DataFrame,
     This is exactly one large-star application done algebraically; the
     generic iterations still handle arbitrary pair topologies.
     """
-    # only (mention_key, anchor) ride the shuffles; url/start are derived
-    # from mention_key at output (see candidates.url_from_mention_key)
+    return cluster_refresh(links, pair_edges)["clusters"]
+
+
+def _anchored(links: DataFrame) -> DataFrame:
+    """(mention_key, anchor): anchor = the mention's entity hash if
+    assigned, else its own key hash. Only these two columns ride the
+    clustering shuffles; url/start are derived from mention_key at
+    output (see candidates.url_from_mention_key)."""
     nodes = links.select(
         "mention_key",
         F.xxhash64("mention_key").alias("nid"),
@@ -133,19 +139,60 @@ def cluster_mentions(links: DataFrame,
                F.xxhash64(F.concat(F.lit("e:"), F.col("pred_qcode"))))
         .alias("eid"),
     )
-    # anchor of a mention = its entity if assigned, else itself
-    anchored = nodes.select(
+    return nodes.select(
         "mention_key",
         F.coalesce("eid", "nid").alias("anchor"))
 
+
+def _contracted(anchored: DataFrame, pair_edges: DataFrame) -> DataFrame:
+    """Mention-mention pair edges → anchor-anchor (u, v) edges of the
+    entity-contracted graph."""
+    a = anchored.select(F.col("mention_key").alias("key_a"),
+                        F.col("anchor").alias("u"))
+    b = anchored.select(F.col("mention_key").alias("key_b"),
+                        F.col("anchor").alias("v"))
+    return (pair_edges.join(a, "key_a").join(b, "key_b")
+            .select("u", "v"))
+
+
+def cluster_refresh(links: DataFrame,
+                    pair_edges: DataFrame | None = None,
+                    prev_components: DataFrame | None = None,
+                    ) -> dict[str, DataFrame]:
+    """Periodic A9 refresh over an ACCUMULATED link sink — the batch leg
+    of the continuous-ER shape (streaming/linking.py streams the
+    per-document link stages; clustering is a whole-graph fixed point,
+    so it re-runs here each period over everything linked so far).
+
+    ``prev_components`` is the previous refresh's contracted component
+    frame. Incrementality rests on the union-find edge identity
+    ``CC(E_old ∪ E_new) == CC(assignment_edges(CC(E_old)) ∪ E_new)``:
+    a closed component is exactly reconstructible from its (node →
+    component) assignment rows, which are themselves valid edges — so
+    this refresh closes over |previous components| + |new pair edges|
+    edges instead of re-walking the full pair-edge history, and the
+    already-closed part converges in one round (every old edge is
+    already (node, min)). At web scale the component frame is
+    entity-contracted (|entities| rows, not |mentions| or |pairs|) —
+    the only state the periodic job carries forward.
+
+    Returns ``{'clusters', 'components'}``: clusters is the
+    (url, start, cluster_id) output over the full sink; persist
+    components and feed it back as ``prev_components`` next period.
+    """
+    anchored = _anchored(links)
+    edge_parts = []
     if pair_edges is not None:
-        a = anchored.select(F.col("mention_key").alias("key_a"),
-                            F.col("anchor").alias("u"))
-        b = anchored.select(F.col("mention_key").alias("key_b"),
-                            F.col("anchor").alias("v"))
-        contracted = (pair_edges.join(a, "key_a").join(b, "key_b")
-                      .select("u", "v"))
-        comp = connected_components(contracted)
+        edge_parts.append(_contracted(anchored, pair_edges))
+    if prev_components is not None:
+        edge_parts.append(prev_components.select(
+            F.col("node").alias("u"), F.col("component").alias("v")))
+
+    if edge_parts:
+        edges = edge_parts[0]
+        for e in edge_parts[1:]:
+            edges = edges.union(e)
+        comp = connected_components(edges)
         with_comp = anchored.join(
             comp, anchored.anchor == comp.node, "left"
         ).select(
@@ -155,6 +202,8 @@ def cluster_mentions(links: DataFrame,
     else:
         # no pair edges: the contracted graph is empty, so the closure is
         # the identity on anchors — skip the (empty) iterations outright
+        comp = links.sparkSession.createDataFrame(
+            [], "node: long, component: long")
         with_comp = anchored.select(
             "mention_key",
             F.col("anchor").alias("component"),
@@ -163,8 +212,9 @@ def cluster_mentions(links: DataFrame,
         F.min("mention_key").alias("cluster_id")
     )
     from .candidates import start_from_mention_key, url_from_mention_key
-    return with_comp.join(cluster_ids, "component").select(
+    clusters = with_comp.join(cluster_ids, "component").select(
         url_from_mention_key().alias("url"),
         start_from_mention_key().alias("start"),
         "cluster_id",
     )
+    return {"clusters": clusters, "components": comp}

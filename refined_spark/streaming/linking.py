@@ -151,6 +151,25 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
     return spark.read.parquet(out)
 
 
+def periodic_clusters(spark: SparkSession, sink_dir: str,
+                      pair_edges: DataFrame | None = None,
+                      prev_components: DataFrame | None = None,
+                      ) -> dict[str, DataFrame]:
+    """The batch leg of continuous ER: read the accumulated streaming
+    link sink and refresh the A9 transitive clusters. Runs on whatever
+    cadence the deployment wants (the reference's one-shot jobs have no
+    analog — this is the piece a continuous crawl needs). Returns
+    ``{'clusters', 'components'}``; persist components and pass it back
+    as ``prev_components`` next period so the closure is incremental
+    over new pair edges instead of re-walking history
+    (operators/clustering.cluster_refresh documents the identity)."""
+    from ..operators.clustering import cluster_refresh
+
+    return cluster_refresh(spark.read.parquet(sink_dir),
+                           pair_edges=pair_edges,
+                           prev_components=prev_components)
+
+
 def split_documents(spark: SparkSession, documents_path: str,
                     n_files: int, dest: str | None = None) -> str:
     """Rewrite a documents parquet as ``n_files`` part files so the

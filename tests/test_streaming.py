@@ -185,3 +185,29 @@ def test_streaming_links_e2e_mode_matches_batch_e2e(spark, fx_t1,
     got = {tuple(r) for r in got_df.select(
         "url", "start", "pred_qcode").collect()}
     assert got == want
+
+
+def test_periodic_clusters_over_stream_sink(spark, fx_t1, tmp_path_factory):
+    """Continuous-ER composition: stream the corpus (2 micro-batches),
+    then run the periodic batch cluster job over the accumulated link
+    sink — clusters equal the one-shot batch pipeline's."""
+    from refined_spark.pipeline import run_pipeline
+    from refined_spark.streaming.linking import (
+        periodic_clusters,
+        split_documents,
+        streaming_links,
+    )
+
+    res = run_pipeline(spark, fx_t1, mode="spans")
+    want = {tuple(r) for r in res["clusters"].collect()}
+    res["unpersist"]()
+
+    split = split_documents(
+        spark, os.path.join(fx_t1, "documents.parquet"), 2,
+        dest=str(tmp_path_factory.mktemp("stream_docs_cl")))
+    sink = str(tmp_path_factory.mktemp("stream_links_cl_out"))
+    streaming_links(spark, fx_t1, split, mode="spans",
+                    max_files_per_trigger=1, out_dir=sink)
+    got = {tuple(r) for r in
+           periodic_clusters(spark, sink)["clusters"].collect()}
+    assert got == want
