@@ -114,7 +114,11 @@ def run_stream_to_batch(stream_df: DataFrame, mode: str = "append",
          .outputMode(mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"stream did not drain within {timeout}s — failing loudly "
+            "rather than comparing a partial sink")
     return stream_df.sparkSession.read.parquet(out)
 
 

@@ -145,7 +145,11 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
              .outputMode("append")
              .trigger(availableNow=True)
              .start())
-        q.awaitTermination(timeout)
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"link stream did not drain within {timeout}s — failing "
+                "loudly rather than returning a partial sink")
     finally:
         linker.release()
     return spark.read.parquet(out)
