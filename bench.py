@@ -169,8 +169,13 @@ def main() -> None:
     # drift-robust default, but when residual host drift pushes it past
     # 1.0 — physically impossible for a fixed binary — the median pair
     # is the number to cite, so the gate evidence is never an impossible
-    # statistic.
+    # statistic. If drift pushes BOTH estimators past 1.0, the true
+    # efficiency is indistinguishable from the physical ceiling under
+    # that session's noise: clamp to 1.0 and flag it, so the emitted
+    # lead figure can never violate the invariant the field exists for.
     eff_lead = eff if eff <= 1.0 else eff_median
+    lead_clamped = eff_lead > 1.0
+    eff_lead = min(eff_lead, 1.0)
 
     r32 = run_worker(f"local[{CPUS}]", CPUS, fx, warm)
     thr32 = r32["n_docs"] / r32["seconds"]
@@ -196,6 +201,7 @@ def main() -> None:
         # cite scaling_efficiency_lead: min-based unless > 1.0, else
         # the median pair (see comment above)
         "scaling_efficiency_lead": round(eff_lead, 3),
+        "scaling_lead_clamped": lead_clamped,
         f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
         "scaling_efficiency_median_pair": round(eff_median, 3),
         "scaling_pairs_raw": [

@@ -67,10 +67,15 @@ class RefinedSpark:
 
     def release_caches(self) -> None:
         """Unpersist the stage caches of every pipeline this facade has
-        run whose output frames are no longer needed."""
+        run whose output frames are no longer needed, plus any
+        operator-internal tracked persists (LSH band frames, the IVF
+        normed corpus — see refined_spark.caching)."""
+        from .caching import release_caches as _release_tracked
+
         hooks, self._unpersist_hooks = self._unpersist_hooks, []
         for h in hooks:
             h()
+        _release_tracked()
 
     def _spans_output(self, res: dict) -> DataFrame:
         from .operators.scoring import topk_from_logits

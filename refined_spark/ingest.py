@@ -27,6 +27,7 @@ the reference mapping every uploaded row onto the job's stored header
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -138,6 +139,11 @@ class MultipartIngest:
         part_dir = os.path.join(pd_, name)
         if os.path.isdir(part_dir):  # torn write from a crashed attempt
             shutil.rmtree(part_dir)
+        # sweep orphaned tmp dirs from attempts that crashed BEFORE the
+        # rename — without this a flaky uploader's retries accumulate
+        # one part-sized `.part-NNNNN.tmp-*` directory per crash
+        for orphan in glob.glob(os.path.join(pd_, f".{name}.tmp-*")):
+            shutil.rmtree(orphan, ignore_errors=True)
         tmp_dir = os.path.join(pd_, f".{name}.tmp-{uuid.uuid4().hex[:8]}")
         rows.write.mode("overwrite").parquet(tmp_dir)
         n_rows = self.spark.read.parquet(tmp_dir).count()

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import config
+from ..caching import track
 
 # fixed 64-bit hash-mixing parameters (splitmix64-style, public constants)
 _MASK64 = (1 << 64) - 1
@@ -255,7 +256,7 @@ def lsh_candidate_pairs(signatures: DataFrame,
     # signature-sized even at 10^9 docs (a cluster job would checkpoint
     # this as a stage table). The derived band expr below is 8 cheap
     # fixed-width hashes per cached row per consumer.
-    signatures = signatures.persist()
+    signatures = track(signatures)
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(

@@ -27,6 +27,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
+from ..caching import track
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -136,7 +138,8 @@ def ann_topk_banded(corpus: DataFrame, k: int, dim: int, bits: int = 16,
                      F.shiftright("bucket", j * r).bitwiseAND(mask)
                      .alias("band_key"))
             for j in range(n_bands)])).alias("b"),
-    ).select("id", "b.band_idx", "b.band_key").persist()
+    ).select("id", "b.band_idx", "b.band_key")
+    bands = track(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -211,7 +214,8 @@ def cosine_near_pairs(corpus: DataFrame, tau: float, dim: int,
                      F.shiftright("bucket", j * r).bitwiseAND(mask)
                      .alias("band_key"))
             for j in range(n_bands)])).alias("b"),
-    ).select("id", "b.band_idx", "b.band_key").persist()
+    ).select("id", "b.band_idx", "b.band_key")
+    bands = track(bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -295,7 +299,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int, stride: int,
     # which at 10^9 vectors is 3 full-table reads instead of 1
     c = with_norm(corpus.select(F.col(corpus_id).alias("id"),
                                 F.col(vec_col).alias("vec")),
-                  "vec", "n").persist()
+                  "vec", "n")
+    c = track(c)
     inv = ivf_assign(c, cents, nprobe=1, id_col="id",
                      vec_col="vec").select(
         F.col("id").alias("nid"), "cid")
@@ -382,7 +387,8 @@ def ann_topk_lsh(corpus: DataFrame, k: int, dim: int, bits: int = 12,
     # them and broadcast-hash sides share no exchange — unpersisted, the
     # signature UDF runs once per side
     sigs = hyperplane_signatures(corpus, dim=dim, bits=bits,
-                                 id_col=id_col, vec_col=vec_col).persist()
+                                 id_col=id_col, vec_col=vec_col)
+    sigs = track(sigs)
     c = with_norm(
         corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("vec")), "vec", "n"

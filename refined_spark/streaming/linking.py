@@ -41,6 +41,7 @@ Scale notes (1000-executor / 100 TB framing):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -113,10 +114,20 @@ class StreamingLinker:
         self.pem_arrays.unpersist()
 
 
+def read_link_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated link sink as one batch DataFrame. Batches land as
+    ``batch-NNNNNNNN/`` subdirectories (see :func:`streaming_links`), so
+    the read recurses past them without partition inference — the sink
+    schema stays exactly ``LINK_COLS``."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir).select(*LINK_COLS))
+
+
 def streaming_links(spark: SparkSession, fixture_dir: str,
                     documents_dir: str, mode: str = "spans",
                     max_files_per_trigger: int = 1,
                     out_dir: str | None = None,
+                    checkpoint_dir: str | None = None,
                     backward_coref: bool = False,
                     timeout: int = 300) -> DataFrame:
     """Run the linking pipeline as a finite file stream
@@ -128,19 +139,43 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
     jobs (the tests split the corpus to force this). In production the
     same call without the trigger cap runs continuously over an
     arriving directory / object-store prefix.
+
+    Exactly-once sink semantics: ``foreachBatch`` is at-least-once — a
+    micro-batch whose parquet job commits but whose offset write does
+    not is RE-RUN on restart, so a blind ``mode('append')`` would
+    duplicate its rows. Each batch therefore overwrites its own
+    ``batch-NNNNNNNN/`` subdirectory keyed on the replay-stable
+    ``batch_id``; a replayed batch rewrites identical content instead of
+    appending a second copy, and the sink read
+    (:func:`read_link_sink`) recurses over the batch dirs.
+
+    Restartability: the checkpoint location defaults to a STABLE path
+    derived from (documents_dir, out_dir) — a crashed or re-invoked job
+    over the same arriving directory resumes from its recorded offsets
+    instead of re-linking every file into the sink. Pass
+    ``checkpoint_dir`` explicitly to place it somewhere durable
+    (production) or unique (forcing a from-scratch replay).
     """
     schema = spark.read.parquet(documents_dir).schema
     linker = StreamingLinker(spark, fixture_dir, mode=mode,
                              backward_coref=backward_coref)
     out = out_dir or tempfile.mkdtemp(prefix="rs_stream_links_")
-    ckpt = tempfile.mkdtemp(prefix="rs_stream_links_ckpt_")
+    ckpt = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(),
+        "rs_stream_links_ckpt_" + hashlib.sha256(
+            f"{os.path.abspath(documents_dir)}|{os.path.abspath(out)}"
+            .encode()).hexdigest()[:16])
     stream = (spark.readStream.schema(schema).format("parquet")
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .load(documents_dir))
+
+    def _write_batch(df: DataFrame, batch_id: int) -> None:
+        (linker.link_batch(df).write.mode("overwrite")
+         .parquet(os.path.join(out, "batch-%08d" % batch_id)))
+
     try:
         q = (stream.writeStream
-             .foreachBatch(lambda df, _id: linker.link_batch(df)
-                           .write.mode("append").parquet(out))
+             .foreachBatch(_write_batch)
              .option("checkpointLocation", ckpt)
              .outputMode("append")
              .trigger(availableNow=True)
@@ -152,7 +187,7 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
                 "loudly rather than returning a partial sink")
     finally:
         linker.release()
-    return spark.read.parquet(out)
+    return read_link_sink(spark, out)
 
 
 def periodic_clusters(spark: SparkSession, sink_dir: str,
@@ -169,7 +204,7 @@ def periodic_clusters(spark: SparkSession, sink_dir: str,
     (operators/clustering.cluster_refresh documents the identity)."""
     from ..operators.clustering import cluster_refresh
 
-    return cluster_refresh(spark.read.parquet(sink_dir),
+    return cluster_refresh(read_link_sink(spark, sink_dir),
                            pair_edges=pair_edges,
                            prev_components=prev_components)
 
@@ -181,7 +216,8 @@ def split_documents(spark: SparkSession, documents_path: str,
     dest = dest or os.path.join(
         tempfile.gettempdir(),
         "rs_stream_docs_%s_%d" % (
-            abs(hash(os.path.abspath(documents_path))), n_files))
+            hashlib.sha256(os.path.abspath(documents_path).encode())
+            .hexdigest()[:16], n_files))
     marker = os.path.join(dest, "_SUCCESS")
     if not os.path.exists(marker):
         (spark.read.parquet(documents_path)
