@@ -90,3 +90,76 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     for incremental dedup manifests."""
     canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out_col, F.xxhash64(canon))
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule repetition signals, the in-row half: fraction of
+    duplicate words and duplicate lines (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 repetition filters — a document repeating
+    itself is low-quality training data regardless of its other stats).
+
+    Both are collection expressions over one split (size vs
+    array_distinct size) — no UDF, no shuffle, fuses into the scan like
+    the other per-doc stats. Line-level is 0.0 by construction on a
+    single-line corpus; the pytest fixture gates it on multi-line docs,
+    the driver gate on the (always-meaningful) word-level signal.
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_w = F.size(words)
+    dup_w = F.when(
+        n_w > 0,
+        (n_w - F.size(F.array_distinct(words))).cast("double") / n_w
+    ).otherwise(0.0)
+    lines = F.split(t, r"\n")
+    n_l = F.size(lines)
+    dup_l = F.when(
+        n_l > 0,
+        (n_l - F.size(F.array_distinct(lines))).cast("double") / n_l
+    ).otherwise(0.0)
+    return (df.withColumn("dup_word_frac", dup_w)
+            .withColumn("dup_line_frac", dup_l))
+
+
+def top_ngram_fraction(df: DataFrame, n: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       out_col: str | None = None,
+                       attach: bool = True) -> DataFrame:
+    """The other Gopher repetition signal: the fraction of a document's
+    word n-grams accounted for by its single most frequent n-gram
+    (templated / boilerplate text scores high).
+
+    Shape at scale: gram rows explode WITHIN their scan partition (no
+    shuffle to build them), then ONE map-side-combining aggregation
+    keyed (doc, gram) and a second tiny one keyed doc — the same
+    physics as the MinHash signature aggregation. The per-doc result
+    joins back onto ``df`` by ``id_col``; docs with fewer than ``n``
+    words get 0.0. In-row alternatives (a HOF frequency count) are
+    O(words²) per document and interpreted — wrong at web scale.
+
+    ``attach=False`` returns just the per-doc ``(id_col, out_col)``
+    frame (docs with no n-grams absent): at corpus scale, attach the
+    scalar frame to an already-projected metrics frame instead of
+    letting the default join shuffle the full corpus rows — ``text``
+    should never cross an exchange for a scalar statistic.
+    """
+    out_col = out_col or f"top_{n}gram_frac"
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(F.col("_ws")) >= n,
+        F.expr(
+            "transform(sequence(1, size(_ws) - %d),"
+            " i -> concat_ws(' ', slice(_ws, i, %d)))" % (n - 1, n)),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = (df.select(F.col(id_col).alias("_id"),
+                           words.alias("_ws"))
+                 .select("_id", F.explode(grams).alias("gram")))
+    per_doc = (gram_rows.groupBy("_id", "gram")
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .groupBy("_id")
+               .agg((F.max("cnt") / F.sum("cnt")).alias(out_col)))
+    if not attach:
+        return per_doc.withColumnRenamed("_id", id_col)
+    return (df.join(per_doc, df[id_col] == per_doc["_id"], "left")
+            .drop("_id")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0))))

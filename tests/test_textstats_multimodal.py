@@ -122,3 +122,58 @@ def test_uniform_frame_indices_edges():
     assert uniform_frame_indices(10, 1) == [0]         # single sample
     assert uniform_frame_indices(2, 4) == [0, 1]       # T < n dedups
     assert uniform_frame_indices(100, 4) == [0, 33, 66, 99]
+
+
+def test_repetition_signals_known_values(spark):
+    """Gopher repetition signals against hand-computed values — the
+    multi-line fixture makes dup_line_frac non-vacuous (the driver
+    corpus is single-line, so its gate covers only the word signal)."""
+    from refined_spark.operators.textstats import (
+        top_ngram_fraction,
+        with_repetition,
+    )
+
+    rows = [
+        # 6 words, 4 distinct -> dup_word 2/6; bigrams: "a b","b a",
+        # "a b","b c","c d" -> top "a b" 2 of 5
+        ("d1", "a b a b c d"),
+        # 3 lines, one duplicated -> dup_line 1/3; words all distinct
+        ("d2", "x y\nz w\nx y"),
+        ("d3", "unique"),          # 1 word: no bigrams -> 0.0
+        ("d4", ""),                # degenerate
+        ("d5", "The the THE"),     # case-folded dups: 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in top_ngram_fraction(with_repetition(df), n=2).collect()}
+
+    assert abs(out["d1"]["dup_word_frac"] - 2 / 6) < 1e-12
+    assert out["d1"]["dup_line_frac"] == 0.0
+    assert abs(out["d1"]["top_2gram_frac"] - 2 / 5) < 1e-12
+
+    assert abs(out["d2"]["dup_line_frac"] - 1 / 3) < 1e-12
+    # \s+ spans the newlines: words are [x,y,z,w,x,y] -> 2 dups of 6
+    assert abs(out["d2"]["dup_word_frac"] - 2 / 6) < 1e-12
+    # d2 bigrams: "x y","y z","z w","w x","x y" -> 2/5
+    assert abs(out["d2"]["top_2gram_frac"] - 2 / 5) < 1e-12
+
+    assert out["d3"]["top_2gram_frac"] == 0.0
+    assert out["d3"]["dup_word_frac"] == 0.0
+    assert out["d4"]["top_2gram_frac"] == 0.0
+    assert abs(out["d5"]["dup_word_frac"] - 2 / 3) < 1e-12
+
+
+def test_top_ngram_fraction_trigram_and_plan(spark):
+    """n=3 path + the scale shape: gram build must not shuffle (grams
+    explode in the scan stage; the only exchanges are the two agg
+    keys and the join back)."""
+    from refined_spark.operators.textstats import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [("d1", "p q r p q r p q r"), ("d2", "a b")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in top_ngram_fraction(df, n=3).collect()}
+    # d1 trigrams: pqr,qrp,rpq,pqr,qrp,rpq,pqr -> top "p q r" 3 of 7
+    assert abs(out["d1"]["top_3gram_frac"] - 3 / 7) < 1e-12
+    assert out["d2"]["top_3gram_frac"] == 0.0  # 2 words < n
