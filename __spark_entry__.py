@@ -738,6 +738,29 @@ def q_dedup_cosine(spark, sf):
         "id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def q_dedup_survivors(spark, sf):
+    """Survivor selection after near-dedup (the step that turns pair
+    generators into a cleaned corpus): transitive closure over a
+    deterministic near-dup pair set — adjacent ids within 5-doc blocks,
+    a chain topology that forces REAL transitivity (doc 0 reaches doc 4
+    only through 3 intermediate edges) — then keep the longest doc per
+    cluster, ties to min id. Docs 200+ enter no pair and must come back
+    as singleton survivors, so the output accounts for every document.
+    The oracle replays the closure as a recursive CTE (the cluster_pairs
+    pattern) and the pick as a window rank."""
+    from refined_spark.operators.dedup import near_dup_survivors
+
+    docs = _t(spark, sf, "documents")
+    ids = docs.select("doc_id").where("doc_id < 200")
+    pairs = (ids.alias("a")
+             .join(ids.alias("b"),
+                   F.col("b.doc_id") == F.col("a.doc_id") + 1)
+             .where(F.col("a.doc_id") % 5 != 4)
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    return near_dup_survivors(docs, pairs).orderBy("doc_id")
+
+
 def q_partitioned_scan(spark, sf):
     """North-rule corpus source: date-partitioned layout + bounded read
     with partition pruning (the hive-parquet analog of the Iceberg
@@ -1091,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "partitioned_scan": q_partitioned_scan,
         "dedup_cosine": q_dedup_cosine,
+        "dedup_survivors": q_dedup_survivors,
         "media_features": q_media_features,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1129,7 +1153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_check": q_class_check,
         "pairwise_f1": q_pairwise_f1,
         "el_metrics": q_el_metrics,
-        "block_sizes": q_block_sizes,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
@@ -1141,7 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         # twice-green, modules untouched in r3 (their code paths are covered
         # inside the window by cluster_pairs / type_prune / the three
-        # sibling tables.py gates)
+        # sibling tables.py gates); block_sizes (green r1+r2, blocking.py
+        # untouched since) rotated out for dedup_survivors
+        "block_sizes": q_block_sizes,
         "clusters": q_clusters,
         "class_closure": q_class_closure,
         "table_coltype": q_table_coltype,
@@ -1832,6 +1857,46 @@ def oracle_sql() -> dict[str, str]:
             where cast(ts as date) >= date '2025-01-02'
               and cast(ts as date) < date '2025-01-05'
             order by url
+        """,
+        "dedup_survivors": """
+            with recursive
+            ids as (select doc_id from documents where doc_id < 200),
+            e0 as (
+              select a.doc_id as u, b.doc_id as v
+              from ids a join ids b on b.doc_id = a.doc_id + 1
+              where a.doc_id % 5 != 4
+            ),
+            edges as (
+              select u, v from e0 union select v as u, u as v from e0
+            ),
+            reach as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u
+            ),
+            comp as (
+              select u as node, least(min(v), u) as component
+              from reach group by u
+            ),
+            j as (
+              select d.doc_id, c.component,
+                     coalesce(cast(d.n_chars as double),
+                              cast('-infinity' as double)) as q
+              from documents d left join comp c on d.doc_id = c.node
+            ),
+            pick as (
+              select component, doc_id as survivor_id,
+                     row_number() over (partition by component
+                                        order by q desc, doc_id asc) as rn
+              from j where component is not null
+            )
+            select j.doc_id,
+                   coalesce(j.component, j.doc_id) as cluster_id,
+                   coalesce(j.doc_id = p.survivor_id, true) as is_survivor
+            from j left join (select component, survivor_id
+                              from pick where rn = 1) p
+              on j.component = p.component
+            order by j.doc_id
         """,
         "ann_ivf": """
             with e as (

@@ -402,3 +402,85 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_survivors(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       quality_col: str = "n_chars") -> DataFrame:
+    """Survivor selection — the step that turns near-dup PAIRS into a
+    cleaned corpus: transitive closure over the pair edges (any of this
+    module's pair sources: LSH candidates after :func:`jaccard_verify`,
+    :func:`simhash_near_pairs`, ``similarity.cosine_near_pairs``), then
+    per duplicate cluster keep the single best document.
+
+    Keep rule: max quality, ties broken by min id — the standard web-
+    corpus convention ("keep the longest / highest-quality copy");
+    ``quality_col="n_chars"`` gives longest-wins, or pass any numeric
+    score (operators/textstats.py). NULL quality sorts below every
+    scored document: it survives only in an all-NULL cluster, where min
+    id wins (pytest-gated; the driver corpus has no NULLs).
+
+    Returns (id_col BIGINT, cluster_id BIGINT, is_survivor BOOLEAN)
+    covering EVERY input document — docs in no pair are singleton
+    survivors with cluster_id = own id; clustered docs get
+    cluster_id = min doc id of their transitive cluster. Ids must be
+    integral (they are the CC node ids directly — no hashing).
+
+    Scale design: the iterative large-star/small-star closure
+    (clustering.py) runs ONLY over the pair-edge node set — duplicate-
+    cluster scale, a small fraction of a web corpus — never over the
+    corpus. The survivor pick is one map-side-combining max(struct)
+    aggregation on that same dup-scale frame, NOT a window sort over
+    the corpus. The survivor id is folded INTO the dup-scale component
+    frame first (a dup-scale join), so the corpus-scale frame crosses
+    exactly ONE narrow left join — broadcastable whenever the dup
+    clusters fit, one uniform-key shuffle otherwise; the component
+    frame is persisted (track) for its two readers, released via
+    caching.release_caches().
+
+    Reference analog: generalizes exact_dedup_groups' keep-min-id
+    convention to transitive near-dup clusters with a quality key.
+    """
+    from .clustering import connected_components
+
+    edges = pairs.select(F.col("id_a").cast("long").alias("u"),
+                         F.col("id_b").cast("long").alias("v"))
+    comp = track(connected_components(edges))  # (node, component)
+
+    q = F.coalesce(F.col(quality_col).cast("double"),
+                   F.lit(float("-inf")))
+    base = docs.select(F.col(id_col).cast("long").alias("id"),
+                       q.alias("_q"))
+
+    # survivor per component: dup-scale inner join + one partial-agg
+    members = comp.join(base, comp.node == base.id).select(
+        "component", "id", "_q")
+    pick = members.groupBy("component").agg(
+        F.max(F.struct(F.col("_q").alias("q"),
+                       (-F.col("id")).alias("negid"))).alias("best"))
+    surv = pick.select(
+        "component", (-F.col("best.negid")).alias("survivor_id"))
+
+    # fold the survivor id into the dup-scale frame, then ONE corpus join
+    comp_surv = comp.join(surv, "component").select(
+        "node", "component", "survivor_id")
+    out = base.join(comp_surv, base.id == comp_surv.node, "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("cluster_id"),
+        # component null (singleton) -> the equality is NULL -> survivor
+        F.coalesce(F.col("id") == F.col("survivor_id"),
+                   F.lit(True)).alias("is_survivor"),
+    )
+
+
+def drop_near_dups(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   quality_col: str = "n_chars") -> DataFrame:
+    """The cleaned corpus: ``docs`` filtered to near-dup survivors (one
+    per transitive cluster + all singletons), original schema preserved.
+    A left-semi join against the survivor id set — no corpus columns
+    ride the survivor computation."""
+    keep = (near_dup_survivors(docs, pairs, id_col, quality_col)
+            .where("is_survivor").select(id_col))
+    return docs.join(keep, on=id_col, how="left_semi")

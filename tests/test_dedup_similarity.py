@@ -191,3 +191,96 @@ def test_cosine_near_pairs_sound_and_bounded(spark, sf01):
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert pairs <= truth and pairs  # non-vacuous on the fixture
+
+
+# ---------------------------------------------------------------------------
+# near-dup survivor selection
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def surv_docs(spark):
+    # quality: doc 2 longest in cluster {0,1,2,3}; tie between 10/11
+    # (min id wins); 20/21 both NULL quality (all-NULL cluster -> min id);
+    # 30 NULL vs 31 scored (scored must win); 40 is a singleton
+    rows = [
+        (0, 5.0), (1, 9.0), (2, 12.0), (3, 9.0),
+        (10, 7.0), (11, 7.0),
+        (20, None), (21, None),
+        (30, None), (31, 1.0),
+        (40, 3.0),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, q: double")
+
+
+@pytest.fixture(scope="module")
+def surv_pairs(spark):
+    # chain 0-1-2-3 (transitivity), plus direct pairs
+    rows = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    return spark.createDataFrame(rows, "id_a: long, id_b: long")
+
+
+def test_survivors_pick_and_singletons(spark, surv_docs, surv_pairs):
+    from refined_spark.operators.dedup import near_dup_survivors
+
+    out = {r["doc_id"]: r for r in near_dup_survivors(
+        surv_docs, surv_pairs, quality_col="q").collect()}
+    assert len(out) == 11
+    # chain cluster: max quality wins across the FULL transitive cluster
+    assert [out[i]["cluster_id"] for i in (0, 1, 2, 3)] == [0, 0, 0, 0]
+    assert [out[i]["is_survivor"] for i in (0, 1, 2, 3)] == [
+        False, False, True, False]
+    # quality tie -> min id
+    assert out[10]["is_survivor"] and not out[11]["is_survivor"]
+    # all-NULL cluster -> min id
+    assert out[20]["is_survivor"] and not out[21]["is_survivor"]
+    # NULL never beats a scored doc
+    assert not out[30]["is_survivor"] and out[31]["is_survivor"]
+    # singleton: own cluster, survives
+    assert out[40]["cluster_id"] == 40 and out[40]["is_survivor"]
+    # exactly one survivor per cluster
+    per_cluster = {}
+    for r in out.values():
+        per_cluster.setdefault(r["cluster_id"], 0)
+        per_cluster[r["cluster_id"]] += int(r["is_survivor"])
+    assert set(per_cluster.values()) == {1}
+
+
+def test_drop_near_dups_idempotent(spark, surv_docs, surv_pairs):
+    from refined_spark.operators.dedup import (
+        drop_near_dups,
+        near_dup_survivors,
+    )
+
+    kept = drop_near_dups(surv_docs, surv_pairs, quality_col="q")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {2, 10, 20, 31, 40}
+    # schema preserved
+    assert kept.columns == surv_docs.columns
+    # idempotence: re-running on the cleaned corpus (pairs restricted to
+    # surviving endpoints) keeps everything
+    surviving_pairs = (surv_pairs
+                       .join(kept.select(F.col("doc_id").alias("id_a")),
+                             "id_a", "left_semi")
+                       .join(kept.select(F.col("doc_id").alias("id_b")),
+                             "id_b", "left_semi"))
+    again = near_dup_survivors(kept, surviving_pairs, quality_col="q")
+    assert all(r["is_survivor"] for r in again.collect())
+
+
+def test_survivors_end_to_end_lsh(spark, docs):
+    """Composition over a REAL pair source: LSH candidates -> jaccard
+    verify -> survivors. Docs 0/100/101 are byte-identical (longest-tie
+    -> min id 0 survives); 1 vs 102 near-dup where 102 is one word
+    longer -> 102 survives."""
+    from refined_spark.operators.dedup import near_dup_survivors
+
+    corpus = docs.withColumn("n_chars", F.length("text"))
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(minhash_signatures(corpus)),
+        corpus, threshold=0.5)
+    out = {r["doc_id"]: r for r in near_dup_survivors(
+        corpus, pairs.select("id_a", "id_b")).collect()}
+    assert out[0]["is_survivor"]
+    assert not out[100]["is_survivor"] and not out[101]["is_survivor"]
+    assert out[102]["is_survivor"] and not out[1]["is_survivor"]
+    assert out[1]["cluster_id"] == out[102]["cluster_id"] == 1
