@@ -375,7 +375,17 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3
     same-band bucketing finds ALL such pairs — the shuffle is bounded per
     band bucket exactly like MinHash-LSH banding, no all-pairs join.
     Output: (id_a, id_b, hamming) with hamming <= max_hamming.
+
+    ``max_hamming`` must stay <= 3: at 4 a pair can differ in one bit per
+    band and agree on none, so 4-band bucketing would silently miss it —
+    refused loudly rather than returning an incomplete pair set (a k >= 4
+    search needs 1 + k bands, i.e. a different banding).
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "guarantee (hamming <= 3); re-band with >= 1 + max_hamming "
+            "bands for larger radii")
     banded = signatures.select(
         "id", "sim_hi", "sim_lo",
         F.explode(F.array(

@@ -98,6 +98,19 @@ def test_simhash_near_pairs_banded_equals_brute(spark, docs):
     assert got == truth
 
 
+def test_simhash_near_pairs_refuses_radius_beyond_banding(spark, docs):
+    """max_hamming=4 can defeat 4-band pigeonhole (one differing bit per
+    band, zero agreeing bands) — the operator must refuse, not silently
+    return an incomplete pair set."""
+    import pytest
+
+    from refined_spark.operators.dedup import simhash_near_pairs
+
+    sigs = simhash_signatures(docs)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(sigs, max_hamming=4)
+
+
 def test_cosine_topk_vs_numpy(spark):
     rng = np.random.Generator(np.random.PCG64(11))
     vecs = rng.standard_normal((30, 8)).astype(np.float32)
