@@ -294,20 +294,50 @@ def lsh_candidate_pairs(signatures: DataFrame,
 
 def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = config.SHINGLE_K,
-                   threshold: float = 0.8) -> DataFrame:
+                   threshold: float = 0.8,
+                   broadcast_ids: bool = True) -> DataFrame:
     """Exact word-n-gram Jaccard on candidate pairs → (id_a, id_b,
     jaccard), filtered to >= threshold. Shingle sets are computed
-    JVM-side (split + slice + concat_ws — codegen, no UDF)."""
+    JVM-side (split + slice + concat_ws — codegen, no UDF).
+
+    Plan shape (each step dup-scale after the first):
+
+    1. Restrict the corpus to the candidate id set with a left-semi
+       join against the broadcast exploded pair ids — the ONLY step
+       that touches the corpus, and no corpus row crosses an exchange
+       for it. ``broadcast_ids=False`` is the past-broadcast-range
+       escape hatch (uniform-key shuffle; ids need no salt).
+    2. Shingle the restricted rows ONCE into a persisted (id, shingles)
+       frame. Without the restriction the shingle projection sits below
+       the verify join and every corpus document gets shingled — and
+       left unpersisted, Catalyst inlines the pushed-down threshold
+       filter into the join CONDITION, re-evaluating the shingle
+       transform per probed row (observed in the executed plan: the
+       join condition carried three copies of the transform).
+    3. Join pairs to the cached shingle frame on both sides — all
+       dup-scale; AQE broadcasts whichever side fits, else a uniform
+       shuffle.
+
+    ``pairs`` also feeds the id set, so it is persisted too (two longs
+    per row). Both caches are released via caching.release_caches() —
+    a cluster job would checkpoint them as stage tables anyway."""
+    pairs = track(pairs)
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    if broadcast_ids:
+        cand_ids = F.broadcast(cand_ids)
+    restricted = docs.join(cand_ids, on=id_col, how="left_semi")
+
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0),
                        F.greatest(F.size(words) - k, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, i + 1, k)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
         )
     )
-    shingled = docs.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    shingled = track(restricted.select(F.col(id_col).alias("id"),
+                                       sh.alias("shingles")))
     a = shingled.alias("a")
     b = shingled.alias("b")
     joined = (
