@@ -416,6 +416,12 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3
             f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
             "guarantee (hamming <= 3); re-band with >= 1 + max_hamming "
             "bands for larger radii")
+    # persist the signature frame: the two self-join sides share no
+    # exchange, so an unpersisted sim_hi/sim_lo (an interpreted per-token
+    # aggregate HOF) would be re-evaluated over the full corpus once per
+    # side — the same defect class lsh_candidate_pairs persists against.
+    # Rows are (id, 2 longs); released via caching.release_caches().
+    signatures = track(signatures)
     banded = signatures.select(
         "id", "sim_hi", "sim_lo",
         F.explode(F.array(
