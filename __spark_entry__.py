@@ -860,6 +860,23 @@ def q_textstats(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_snapshot_latest(spark, sf):
+    """Crawl-snapshot dedup (operators/crawl.py): URL canonicalization
+    (scheme/host case, www., default ports, fragment, trailing slash —
+    closed regex rules) + latest-crawl-wins collapse, the CDX-style
+    pre-pass content dedup runs after on a Common-Crawl-shaped corpus.
+    One map-side-combining max_by per canonical key — no window sort
+    over the corpus. The DuckDB oracle replays the IDENTICAL regex
+    rules (canonical_url_sql emits them) and picks via window rank with
+    the same (warc_ts desc, url desc) total order."""
+    from refined_spark.operators.crawl import latest_snapshot
+
+    snaps = _fx(spark, sf, "crawl_snapshots")
+    return latest_snapshot(snaps).select(
+        "canonical_url", "url", "warc_ts", "text", "lang",
+        "n_snapshots").orderBy("canonical_url")
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1132,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "number_detect": q_number_detect,
         "textstats": q_textstats,
+        "snapshot_latest": q_snapshot_latest,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1152,7 +1170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_links": q_topk_links,
         "class_check": q_class_check,
         "pairwise_f1": q_pairwise_f1,
-        "el_metrics": q_el_metrics,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
         "table_topk": q_table_topk,
@@ -1165,7 +1182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twice-green, modules untouched in r3 (their code paths are covered
         # inside the window by cluster_pairs / type_prune / the three
         # sibling tables.py gates); block_sizes (green r1+r2, blocking.py
-        # untouched since) rotated out for dedup_survivors
+        # untouched since) rotated out for dedup_survivors; el_metrics
+        # (green r2, metrics.py untouched in r3, sibling gate pairwise_f1
+        # stays inside) rotated out for snapshot_latest
+        "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
         "class_closure": q_class_closure,
@@ -1559,6 +1579,31 @@ def _date_detect_oracle_sql() -> str:
         select url, cast(i as int) as seq, matches[i] as date_text
         from m, unnest(generate_series(1, len(matches))) as t(i)
         order by url, seq
+    """
+
+
+def _snapshot_latest_oracle_sql() -> str:
+    """DuckDB replay of crawl-snapshot dedup: canonical_url_sql emits
+    the IDENTICAL regex canonicalization rules the Spark Column code
+    uses (shared constants — the two sides cannot drift), and the
+    latest pick replays max_by(row, (warc_ts, url)) as a window rank
+    under the same total order."""
+    from refined_spark.operators.crawl import canonical_url_sql
+
+    return f"""
+        with c as (
+          select *, {canonical_url_sql("url")} as canonical_url
+          from read_parquet('{_fxp("crawl_snapshots")}')
+        ), r as (
+          select *,
+                 row_number() over (partition by canonical_url
+                   order by warc_ts desc, url desc) as rn,
+                 count(*) over (partition by canonical_url)
+                   as n_snapshots
+          from c
+        )
+        select canonical_url, url, warc_ts, text, lang, n_snapshots
+        from r where rn = 1 order by canonical_url
     """
 
 
@@ -2387,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "date_detect": _date_detect_oracle_sql(),
         "number_detect": _number_detect_oracle_sql(),
+        "snapshot_latest": _snapshot_latest_oracle_sql(),
         "table_link": f"""
             with {_table_link_cte()}
             select table_id, "row", pred_qcode

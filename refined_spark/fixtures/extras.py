@@ -310,6 +310,76 @@ def gen_number_docs(out_dir: str, n_urls: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# crawl snapshots (URL-canonicalization + latest-crawl-wins corpus)
+# --------------------------------------------------------------------------
+
+def gen_crawl_snapshots(out_dir: str, n_sites: int) -> None:
+    """Multi-crawl corpus for operators/crawl.py: each site appears as
+    1-4 snapshots whose urls are ALIASES of one canonical form (scheme/
+    host case, www., default port, fragment, trailing slash — one
+    decoration per snapshot, so every rule is exercised), with strictly
+    increasing warc_ts per site so the latest pick is unique. Query
+    strings are part of page identity and therefore FIXED per site.
+    Columns: (url, warc_ts, text, lang)."""
+    import datetime
+    import os
+
+    rng = np.random.Generator(np.random.PCG64(20260818))
+    langs = ["en", "de", "fr", "es"]
+    rows = []
+    for s in range(n_sites):
+        host = f"site{s:04d}.example{s % 7}.org"
+        scheme = "https" if s % 3 else "http"
+        path = "" if s % 5 == 0 else f"/p/{s:04d}"
+        query = "?id=7&v=2" if s % 4 == 1 else ""
+        canon_tail = f"{host}{path}{query}"
+        n_snaps = 1 + int(rng.integers(0, 4))
+        for j in range(n_snaps):
+            u_scheme = scheme.upper() if (s + j) % 4 == 2 else scheme
+            u_host = host
+            deco = (s + j) % 6
+            if deco == 0:
+                u_host = "www." + host
+            elif deco == 1:
+                u_host = host.upper()
+            elif deco == 2:
+                u_host = host + (":443" if scheme == "https" else ":80")
+            u_rest = path + query
+            if deco == 3:
+                u_rest = u_rest + "/"
+            elif deco == 4:
+                u_rest = u_rest + "#section-2"
+            url = f"{u_scheme}://{u_host}{u_rest}"
+            ts = (datetime.datetime(2025, 1, 1)
+                  + datetime.timedelta(days=int(rng.integers(0, 200)),
+                                       hours=j * 7 + s % 5,
+                                       minutes=j))
+            rows.append(dict(
+                url=url, warc_ts=ts,
+                text=(f"site {canon_tail} revision {j} "
+                      + " ".join(vocab.FILLER[(s * 7 + j * 3 + w) %
+                                              len(vocab.FILLER)]
+                                 for w in range(12))),
+                lang=langs[(s + j) % len(langs)]))
+    # per-site warc_ts uniqueness (the pick must be total without
+    # leaning on the url tiebreak alone): bump colliding timestamps —
+    # text word [1] is the canonical tail, i.e. the site key
+    seen: dict[str, set] = {}
+    fixed = []
+    for r in rows:
+        ts = r["warc_ts"]
+        bucket = seen.setdefault(r["text"].split()[1], set())
+        while ts in bucket:
+            ts += datetime.timedelta(hours=13)
+        bucket.add(ts)
+        fixed.append({**r, "warc_ts": ts})
+    _write(os.path.join(out_dir, "crawl_snapshots.parquet"), fixed,
+           pa.schema([("url", pa.string()),
+                      ("warc_ts", pa.timestamp("us")),
+                      ("text", pa.string()), ("lang", pa.string())]))
+
+
+# --------------------------------------------------------------------------
 # expected_topk (F7 golden via the sequential NumPy oracle)
 # --------------------------------------------------------------------------
 
@@ -846,3 +916,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_wikidata_dump(out_dir, world)
     gen_bpe(out_dir, world, {"t1": 24}.get(tier, 120))
     gen_coref_docs(out_dir, world, {"t1": 25}.get(tier, 100))
+    gen_crawl_snapshots(out_dir, {"t1": 40}.get(tier, 160))
