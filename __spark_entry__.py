@@ -877,6 +877,62 @@ def q_snapshot_latest(spark, sf):
         "n_snapshots").orderBy("canonical_url")
 
 
+def q_et_types(spark, sf):
+    """F4 entity typing (operators/entity_typing.py): sigmoid(Linear(m))
+    over the class vocabulary per mention (reference
+    entity_typing_layer.py:26-47), deterministic weight rows derived
+    from class names. Confidences are computed once per DISTINCT ctx
+    word in a vectorized Arrow pass (one fixed-order fold per dim — the
+    shared numpy helper makes Spark and the replay bit-identical);
+    ranks are engine-independent (sigmoid is monotone in the dot). Top-3
+    class names per span vs the sequential replay golden; raw floats
+    excluded from the comparable surface (topk_links convention)."""
+    from refined_spark.operators.entity_typing import (class_names_sorted,
+                                                       et_top_classes)
+    from refined_spark.operators.wikidata import class_vocab_from_edges
+
+    names = class_names_sorted(
+        class_vocab_from_edges(_fx(spark, sf, "class_edges")))
+    return (et_top_classes(_fx(spark, sf, "gold_spans"), names, k=3)
+            .select("url", "start", "et_rank", "class_name")
+            .orderBy("url", "start", "et_rank"))
+
+
+def q_links_et(spark, sf):
+    """F4→F6 integrated: the full link pass under typing_mode='et' — the
+    ED layer consuming the reference's REAL class features (delta =
+    candidate-class × predicted-confidence product, dist = full-width L2
+    computed sparsely; entity_disambiguation_layer.py:56-61) instead of
+    the class-prior stand-in. Gated on expected_links_et, an independent
+    sequential replay that PROVABLY differs from prior-mode links
+    (asserted at fixture-gen time — non-vacuous)."""
+    from refined_spark.operators.candidates import (
+        mention_candidate_arrays, pem_surface_arrays)
+    from refined_spark.operators.entity_typing import (
+        class_names_sorted, et_confidence_table)
+    from refined_spark.operators.extract import with_extracted_text
+    from refined_spark.operators.mentions import mentions_from_spans
+    from refined_spark.operators.scoring import (links_from_logits,
+                                                 with_candidate_logits)
+    from refined_spark.operators.wikidata import class_vocab_from_edges
+    from refined_spark.pipeline import load_weights
+
+    docs = with_extracted_text(_fx(spark, sf, "documents")).select(
+        "url", F.col("extracted").alias("text"))
+    mentions = mentions_from_spans(docs, _fx(spark, sf, "gold_spans"))
+    arrays = pem_surface_arrays(_fx(spark, sf, "pem"),
+                                _fx(spark, sf, "entity"))
+    cand_arr = mention_candidate_arrays(mentions, arrays)
+    names = class_names_sorted(
+        class_vocab_from_edges(_fx(spark, sf, "class_edges")))
+    tf = et_confidence_table(cand_arr.select("ctx_word"), names)
+    weights = load_weights(_fx(spark, sf, "ed_weights"))
+    links = links_from_logits(with_candidate_logits(
+        cand_arr, _fx(spark, sf, "entity"), _fx(spark, sf, "entity_emb"),
+        _fx(spark, sf, "topic_class"), weights, typing_frame=tf))
+    return links.select("url", "start", "pred_qcode").orderBy("url", "start")
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1150,14 +1206,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "number_detect": q_number_detect,
         "textstats": q_textstats,
         "snapshot_latest": q_snapshot_latest,
+        "et_types": q_et_types,
+        "links_et": q_links_et,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
-        "link_extract": q_link_extract,
         "anchor_pem": q_anchor_pem,
         "wikidata_lookups": q_wikidata_lookups,
         "class_arrays": q_class_arrays,
-        "bpe_tokens": q_bpe_tokens,
         "date_detect": q_date_detect,
         "date_resolve": q_date_resolve,
         "sentence_split": q_sentence_split,
@@ -1184,7 +1240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sibling tables.py gates); block_sizes (green r1+r2, blocking.py
         # untouched since) rotated out for dedup_survivors; el_metrics
         # (green r2, metrics.py untouched in r3, sibling gate pairwise_f1
-        # stays inside) rotated out for snapshot_latest
+        # stays inside) rotated out for snapshot_latest; link_extract
+        # (anchors.py untouched in r3, sibling gate anchor_pem stays
+        # inside) and bpe_tokens (green r2, bpe.py untouched in r3)
+        # rotated out for the two new F4 entity-typing gates
+        # et_types / links_et
+        "link_extract": q_link_extract,
+        "bpe_tokens": q_bpe_tokens,
         "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
@@ -2433,6 +2495,16 @@ def oracle_sql() -> dict[str, str]:
         "date_detect": _date_detect_oracle_sql(),
         "number_detect": _number_detect_oracle_sql(),
         "snapshot_latest": _snapshot_latest_oracle_sql(),
+        "et_types": f"""
+            select url, start, et_rank, class_name
+            from read_parquet('{_fxp("expected_et_types")}')
+            order by url, start, et_rank
+        """,
+        "links_et": f"""
+            select url, start, pred_qcode
+            from read_parquet('{_fxp("expected_links_et")}')
+            order by url, start
+        """,
         "table_link": f"""
             with {_table_link_cte()}
             select table_id, "row", pred_qcode

@@ -34,13 +34,17 @@ from .pipeline import run_pipeline
 
 class RefinedSpark:
     def __init__(self, spark: SparkSession, resource_dir: str,
-                 topk: int = 5, backward_coref: bool = False):
+                 topk: int = 5, backward_coref: bool = False,
+                 typing_mode: str = "prior"):
         self.spark = spark
         self.resource_dir = resource_dir
         self.topk = topk
         # reference Refined.process_text(backward_coref=...) analog:
         # 2-pass person coref (candidate_generator.py:123-159)
         self.backward_coref = backward_coref
+        # 'prior' (class-prior stand-in) | 'et' (the reference's real F4
+        # linear+sigmoid typing pass — operators/entity_typing.py)
+        self.typing_mode = typing_mode
         # unpersist hooks of pipelines whose (lazy) output is still live;
         # drained by release_caches() / the collecting sugar methods
         self._unpersist_hooks: list = []
@@ -61,7 +65,8 @@ class RefinedSpark:
         mode = "spans" if spans_df is not None else "e2e"
         res = run_pipeline(self.spark, self.resource_dir, mode=mode,
                           documents=documents, gold_spans=spans_df,
-                          backward_coref=self.backward_coref)
+                          backward_coref=self.backward_coref,
+                          typing_mode=self.typing_mode)
         self._unpersist_hooks.append(res["unpersist"])
         return self._spans_output(res)
 
@@ -97,6 +102,27 @@ class RefinedSpark:
                 .join(tk, "mention_key", "left")
                 .select("url", "start", "length", "mention_text",
                         "pred_qcode", "confidence", "top_k"))
+
+    def predicted_types(self, documents: DataFrame,
+                        spans_df: DataFrame, k: int = 3) -> DataFrame:
+        """Per-span top-k predicted entity types — the reference Span's
+        ``predicted_entity_types`` field (processor.py builds it from
+        the ET activations) as a frame: (url, start, et_rank,
+        class_name, conf). Provided-spans shape; the typing pass runs
+        once per distinct context word (entity_typing.py)."""
+        from .operators.entity_typing import (class_names_sorted,
+                                              et_top_classes)
+        from .operators.extract import with_extracted_text
+        from .operators.mentions import mentions_from_spans
+        from .operators.wikidata import class_vocab_from_edges
+        from .pipeline import load_tables
+
+        t = load_tables(self.spark, self.resource_dir)
+        names = class_names_sorted(class_vocab_from_edges(t["class_edges"]))
+        docs = with_extracted_text(documents).select(
+            "url", F.col("extracted").alias("text"))
+        mentions = mentions_from_spans(docs, spans_df)
+        return et_top_classes(mentions, names, k=k)
 
     def process_dates(self, documents: DataFrame) -> DataFrame:
         """The DATE-handler path (ref processor.py:314-321): detect date

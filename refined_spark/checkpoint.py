@@ -192,13 +192,14 @@ def run_pipeline_checkpointed(
     spark: SparkSession, fixture_dir: str, run_dir: str,
     mode: str = "spans",
     backward_coref: bool = False,
+    typing_mode: str = "prior",
 ) -> dict:
     """The production entry point: same stages as run_pipeline, but each
     stage materialized + manifested, resumable mid-pipeline.
 
-    ``backward_coref`` folds into the run fingerprint: a run_dir
-    checkpointed under one coref protocol recomputes (not resumes) the
-    candidate stage and everything after it under the other."""
+    ``backward_coref`` and ``typing_mode`` fold into the run
+    fingerprint: a run_dir checkpointed under one coref/typing protocol
+    recomputes (not resumes) the affected stages under the other."""
     from .operators.candidates import (
         mention_candidate_arrays,
         pem_surface_arrays,
@@ -212,7 +213,8 @@ def run_pipeline_checkpointed(
     t = load_tables(spark, fixture_dir)
     runner = CheckpointRunner(
         spark, run_dir, run_inputs=dict(fixture_dir=fixture_dir, mode=mode,
-                                        backward_coref=backward_coref))
+                                        backward_coref=backward_coref,
+                                        typing_mode=typing_mode))
 
     def build_mentions():
         if mode == "spans":
@@ -237,12 +239,27 @@ def run_pipeline_checkpointed(
             mentions, pem_surface_arrays(t["pem"], t["entity"]),
             backward=backward_coref))
     weights = load_weights(t["ed_weights"])
-    links = runner.stage(
-        "links",
-        lambda: links_from_logits(
+
+    def build_links():
+        typing_frame = None
+        if typing_mode == "et":
+            from .operators.entity_typing import (class_names_sorted,
+                                                  et_confidence_table)
+            from .operators.wikidata import class_vocab_from_edges
+
+            names = class_names_sorted(
+                class_vocab_from_edges(t["class_edges"]))
+            typing_frame = et_confidence_table(
+                candidates.select("ctx_word"), names)
+        elif typing_mode != "prior":
+            raise ValueError(f"typing_mode must be prior|et, "
+                             f"got {typing_mode!r}")
+        return links_from_logits(
             with_candidate_logits(candidates, t["entity"],
                                   t["entity_emb"], t["topic_class"],
-                                  weights)))
+                                  weights, typing_frame=typing_frame))
+
+    links = runner.stage("links", build_links)
     clusters = runner.stage("clusters", lambda: cluster_mentions(links))
     return dict(mentions=mentions, candidates=candidates, links=links,
                 clusters=clusters, runner=runner, tables=t)

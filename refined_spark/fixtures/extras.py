@@ -380,6 +380,74 @@ def gen_crawl_snapshots(out_dir: str, n_sites: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# entity-typing (F4) goldens: per-span top classes + ET-mode links
+# --------------------------------------------------------------------------
+
+def gen_et_expected(out_dir: str, world: dict, k: int = 3) -> None:
+    """Sequential replay of the ET protocol (operators/entity_typing.py):
+    confidences for ALL distinct ctx words in ONE call to the shared
+    ``et_conf_matrix`` (bit-identical to the Spark UDF by construction),
+    then per-span top-k classes and the full ET-mode link pass via the
+    oracle's sequential scorer. Asserts the ET links differ from the
+    prior-mode links — the gate must not be vacuous."""
+    import os
+
+    from ..operators.entity_typing import et_conf_matrix
+    from . import oracle as o
+
+    uni = world["uni"]
+    names = [n for n, _ in sorted(uni["cidx"].items(), key=lambda kv: kv[1])]
+    ctx_words = sorted({sp["ctx_word"] for sp in world["spans"]
+                        if sp.get("ctx_word")})
+    conf, sq = et_conf_matrix(ctx_words, names)
+    et = dict(conf_by_ctx={w: conf[i] for i, w in enumerate(ctx_words)},
+              sq_by_ctx={w: float(sq[i]) for i, w in enumerate(ctx_words)})
+
+    type_rows = []
+    for sp in world["spans"]:
+        w = sp.get("ctx_word")
+        if not w:
+            continue
+        c = et["conf_by_ctx"][w]
+        order = sorted(range(len(names)), key=lambda i: (-c[i], i))
+        for rank, i in enumerate(order[:k], 1):
+            type_rows.append(dict(url=sp["url"], start=sp["start"],
+                                  et_rank=rank, class_name=names[i]))
+    _write(os.path.join(out_dir, "expected_et_types.parquet"), type_rows,
+           pa.schema([("url", pa.string()), ("start", pa.int32()),
+                      ("et_rank", pa.int32()), ("class_name", pa.string())]))
+
+    spans_by_url: dict[str, list] = {}
+    for sp in world["spans"]:
+        spans_by_url.setdefault(sp["url"], []).append(sp)
+    link_rows, differs = [], False
+    for url in sorted(spans_by_url):
+        spans = sorted(spans_by_url[url], key=lambda s: s["start"])
+        cand_map = o.get_candidates_for_doc(
+            spans, world["pem"], world["human_qcodes"])
+        links_et = o.link_doc(spans, cand_map, world["emb_by_qcode"],
+                              world["closure_by_qcode"],
+                              world["topic_class"], world["weights"], et=et)
+        links_prior = o.link_doc(spans, cand_map, world["emb_by_qcode"],
+                                 world["closure_by_qcode"],
+                                 world["topic_class"], world["weights"])
+        for sp in spans:
+            q, confv = links_et[sp["start"]]
+            if links_prior[sp["start"]] != links_et[sp["start"]]:
+                differs = True
+            link_rows.append(dict(url=url, start=sp["start"],
+                                  pred_qcode=q, confidence=confv))
+    if not differs:
+        raise AssertionError(
+            "ET-mode links identical to prior-mode links — the links_et "
+            "gate would be vacuous; fixture corpus needs more contrast")
+    _write(os.path.join(out_dir, "expected_links_et.parquet"), link_rows,
+           pa.schema([("url", pa.string()), ("start", pa.int32()),
+                      ("pred_qcode", pa.string()),
+                      ("confidence", pa.float64())]))
+
+
+# --------------------------------------------------------------------------
 # expected_topk (F7 golden via the sequential NumPy oracle)
 # --------------------------------------------------------------------------
 
@@ -917,3 +985,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_bpe(out_dir, world, {"t1": 24}.get(tier, 120))
     gen_coref_docs(out_dir, world, {"t1": 25}.get(tier, 100))
     gen_crawl_snapshots(out_dir, {"t1": 40}.get(tier, 160))
+    gen_et_expected(out_dir, world)

@@ -123,10 +123,18 @@ def candidates_rows(gold_spans, pem, human_qcodes, backward=False):
 
 
 def score_candidates(cands, ctx_word, emb_by_qcode, closure_by_qcode,
-                     topic_class, weights):
-    """Returns (logits list, softmax probs incl. NOTA last)."""
+                     topic_class, weights, et=None):
+    """Returns (logits list, softmax probs incl. NOTA last).
+
+    ``et`` switches the class features to the entity-typing protocol:
+    a dict {"conf_by_ctx": {ctx_word: np.ndarray}, "sq_by_ctx":
+    {ctx_word: float}} (from entity_typing.et_conf_matrix — the SAME
+    numpy code the Spark UDF runs). Class delta/dist replay the Spark
+    Column folds term-for-term in class-index order, so parity is
+    bit-exact."""
     m_emb = hash_embed(ctx_word) if ctx_word else None
     t_cls = topic_class.get(ctx_word) if ctx_word else None
+    conf = et["conf_by_ctx"].get(ctx_word) if (et and ctx_word) else None
     logits = []
     for qcode, pem_v, _src in cands:
         if pem_v == 0.0:
@@ -141,8 +149,25 @@ def score_candidates(cands, ctx_word, emb_by_qcode, closure_by_qcode,
             # float64 accumulation to match the Spark-side zip_with/aggregate
             desc_score = float(np.dot(emb.astype(np.float64),
                                       m_emb.astype(np.float64)))
-        overlap = 1.0 if (t_cls is not None and t_cls in closure_by_qcode.get(qcode, ())) else 0.0
-        dist = 1.0 - overlap
+        if et is None:
+            overlap = 1.0 if (t_cls is not None and t_cls in closure_by_qcode.get(qcode, ())) else 0.0
+            dist = 1.0 - overlap
+        else:
+            # neutral (0,0) only when the confidence row is missing
+            # (null-ctx mention) or the candidate has no class row
+            # (unknown entity, NULL class_idx Spark-side); an EMPTY
+            # class list is a real indicator vector — dist = sqrt(Σconf²)
+            classes = closure_by_qcode.get(qcode)
+            if conf is None or classes is None:
+                overlap = 0.0  # class_delta slot
+                dist = 0.0
+            else:
+                overlap = 0.0
+                corr = 0.0
+                for c in sorted(classes):  # sequential in class-idx order
+                    overlap = overlap + float(conf[c])
+                    corr = corr + (1.0 - 2.0 * float(conf[c]))
+                dist = float(np.sqrt(et["sq_by_ctx"][ctx_word] + corr))
         logits.append(
             weights["class_overlap"] * overlap
             + weights["pem"] * pem_v
@@ -158,7 +183,7 @@ def score_candidates(cands, ctx_word, emb_by_qcode, closure_by_qcode,
 
 
 def link_doc(spans, cand_map, emb_by_qcode, closure_by_qcode, topic_class,
-             weights):
+             weights, et=None):
     """Per-mention winner: (pred_qcode | None, confidence)."""
     links = {}
     for sp in spans:
@@ -168,7 +193,7 @@ def link_doc(spans, cand_map, emb_by_qcode, closure_by_qcode, topic_class,
             continue
         _logits, probs = score_candidates(
             cands, sp.get("ctx_word"), emb_by_qcode, closure_by_qcode,
-            topic_class, weights,
+            topic_class, weights, et=et,
         )
         win = int(np.argmax(probs))  # first occurrence on ties; NOTA last
         conf = float(probs[win])

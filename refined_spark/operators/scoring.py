@@ -63,14 +63,12 @@ def score_candidates(
     topic_class: DataFrame,
     weights: dict[str, float],
     broadcast_emb: bool = True,
+    typing_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Returns candidates + feature columns + logit.
 
     candidates: (url, start, qcode, prob, cand_source, cand_rank)
     """
-    ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
-    emb = entity_emb.select("qcode_idx", "desc_emb")
-
     # candidates carry mention_key out of the coref aggregation (already
     # hash-partitioned on it) — joining on mention_key instead of
     # (url, start) lets Catalyst reuse that partitioning: only the small
@@ -88,40 +86,11 @@ def score_candidates(
     # materialize-then-join move the reference makes for description
     # embeddings (processor.py:525-553), one level further.
     pairs = cand.select("ctx_word", "qcode").distinct()
-    pair_feats = (
-        pairs
-        .join(ent_dim, "qcode", "left")
-        .join(emb, "qcode_idx", "left")
-        .join(F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
-                          .withColumnRenamed("class_idx", "t_class_idx")),
-              "ctx_word", "left")
-        .join(F.broadcast(ctx_embeddings(mentions)), "ctx_word", "left")
-    )
-    desc_nonzero = F.exists("desc_emb", lambda x: x != 0.0)
-    dot = F.aggregate(
-        F.zip_with("desc_emb", "ctx_emb",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    desc_score = (
-        F.when(F.col("desc_emb").isNull() | ~desc_nonzero,
-               F.lit(config.NO_DESC_MASK))
-        .when(F.col("ctx_emb").isNull(), F.lit(0.0))
-        .otherwise(dot)
-    )
-    overlap = (
-        F.when(F.col("t_class_idx").isNull() | F.col("class_idx").isNull(),
-               F.lit(0.0))
-        .otherwise(F.array_contains(
-            "class_idx", F.col("t_class_idx").cast("smallint")
-        ).cast("double"))
-    )
-    pair_feats = pair_feats.select(
-        "ctx_word", "qcode",
-        desc_score.alias("desc_score"),
-        overlap.alias("class_overlap"),
-    )
+    ctx_words = (mentions.select("ctx_word")
+                 .where(F.col("ctx_word").isNotNull()).distinct())
+    pair_feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
+                                    ctx_words, typing_frame=typing_frame)
+    et_mode = typing_frame is not None
     if broadcast_emb:
         # distinct (surface-context, entity) pairs ~ alias-table-sized
         pair_feats = F.broadcast(pair_feats)
@@ -135,10 +104,22 @@ def score_candidates(
         "left",
     ).drop(pair_feats["ctx_word"]).drop(pair_feats["qcode"])
 
+    # summation order (class, pem, dist, desc, bias) is part of the
+    # cross-engine contract: the fixture oracle folds in the same order,
+    # so parity is bit-exact, not approximate
+    if et_mode:
+        first = F.lit(weights["class_overlap"]) * F.col("class_delta")
+        dist_term = F.lit(weights["class_dist"]) * F.col("class_dist")
+        class_cols = ["class_delta", "class_dist"]
+    else:
+        first = F.lit(weights["class_overlap"]) * F.col("class_overlap")
+        dist_term = (F.lit(weights["class_dist"])
+                     * (F.lit(1.0) - F.col("class_overlap")))
+        class_cols = ["class_overlap"]
     logit_raw = (
-        F.lit(weights["class_overlap"]) * F.col("class_overlap")
+        first
         + F.lit(weights["pem"]) * F.col("prob")
-        + F.lit(weights["class_dist"]) * (F.lit(1.0) - F.col("class_overlap"))
+        + dist_term
         + F.lit(weights["desc_score"]) * F.col("desc_score")
         + F.lit(weights["bias"])
     )
@@ -149,7 +130,7 @@ def score_candidates(
     return (
         joined.withColumn("logit", logit)
         .select("mention_key", "qcode", "prob", "cand_source",
-                "cand_rank", "desc_score", "class_overlap", "logit")
+                "cand_rank", "desc_score", *class_cols, "logit")
     )
 
 
@@ -209,10 +190,24 @@ _CTX_NULL_KEY = "\x01"  # sentinel: group NULL ctx_word into the feature map
 
 def pair_feature_table(pairs: DataFrame, entity: DataFrame,
                        entity_emb: DataFrame, topic_class: DataFrame,
-                       ctx_words: DataFrame) -> DataFrame:
-    """(ctx_word, qcode) -> (desc_score, class_overlap) for the DISTINCT
+                       ctx_words: DataFrame,
+                       typing_frame: DataFrame | None = None) -> DataFrame:
+    """(ctx_word, qcode) -> (desc_score, class features) for the DISTINCT
     observed pairs — the heavy 300-dim math runs once per pair (see
-    score_candidates docstring for why this dedup is the scale move)."""
+    score_candidates docstring for why this dedup is the scale move).
+
+    Class features come in two protocols:
+
+    - prior (default): ``class_overlap`` — membership of the context
+      topic's class in the candidate's class set (the deterministic ET
+      stand-in, SURVEY §7.1).
+    - ET (``typing_frame`` = the (ctx_word, et_conf, et_sq) frame from
+      :func:`~refined_spark.operators.entity_typing.et_confidence_table`):
+      the reference ED layer's real class features — ``class_delta``
+      (candidate-class × predicted-confidence product, collapsed) and
+      ``class_dist`` (full-width L2 between indicator and confidence
+      vectors, computed sparsely) — entity_disambiguation_layer.py:56-61.
+    """
     ent_dim = entity.select("qcode", "qcode_idx", "class_idx")
     emb = entity_emb.select("qcode_idx", "desc_emb")
     # The distinct ctx-word table is bytes-tiny but CPU-heavy (one Python
@@ -228,11 +223,15 @@ def pair_feature_table(pairs: DataFrame, entity: DataFrame,
         pairs
         .join(ent_dim, "qcode", "left")
         .join(emb, "qcode_idx", "left")
-        .join(F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
-                          .withColumnRenamed("class_idx", "t_class_idx")),
-              "ctx_word", "left")
         .join(F.broadcast(ctx_embs), "ctx_word", "left")
     )
+    if typing_frame is None:
+        feats = feats.join(
+            F.broadcast(topic_class.withColumnRenamed("topic", "ctx_word")
+                        .withColumnRenamed("class_idx", "t_class_idx")),
+            "ctx_word", "left")
+    else:
+        feats = feats.join(F.broadcast(typing_frame), "ctx_word", "left")
     desc_nonzero = F.exists("desc_emb", lambda x: x != 0.0)
     dot = F.aggregate(
         F.zip_with("desc_emb", "ctx_emb",
@@ -246,6 +245,14 @@ def pair_feature_table(pairs: DataFrame, entity: DataFrame,
         .when(F.col("ctx_emb").isNull(), F.lit(0.0))
         .otherwise(dot)
     )
+    if typing_frame is not None:
+        from .entity_typing import et_feature_cols
+        class_delta, class_dist = et_feature_cols()
+        return feats.select(
+            "ctx_word", "qcode",
+            desc_score.alias("desc_score"),
+            class_delta.alias("class_delta"),
+            class_dist.alias("class_dist"))
     overlap = (
         F.when(F.col("t_class_idx").isNull() | F.col("class_idx").isNull(),
                F.lit(0.0))
@@ -320,14 +327,20 @@ def observed_pairs_from_mentions(mentions: DataFrame,
 
 def feature_map_by_ctx(pairs: DataFrame, entity: DataFrame,
                        entity_emb: DataFrame,
-                       topic_class: DataFrame) -> DataFrame:
-    """(ctx_key -> {qcode -> (desc_score, class_overlap)}) map frame —
-    the broadcastable feature store for the logits transform. Build ONCE
-    per pipeline and share across logits call sites."""
+                       topic_class: DataFrame,
+                       typing_frame: DataFrame | None = None) -> DataFrame:
+    """(ctx_key -> {qcode -> feature struct}) map frame — the
+    broadcastable feature store for the logits transform. Build ONCE per
+    pipeline and share across logits call sites. The struct is
+    (desc_score, class_overlap) in prior mode, (desc_score, class_delta,
+    class_dist) in ET mode (``typing_frame`` given)."""
     ctx_words = (pairs.select("ctx_word")
                  .where(F.col("ctx_word").isNotNull()).distinct())
     feats = pair_feature_table(pairs, entity, entity_emb, topic_class,
-                               ctx_words)
+                               ctx_words, typing_frame=typing_frame)
+    feat_struct = (F.struct("desc_score", "class_delta", "class_dist")
+                   if typing_frame is not None
+                   else F.struct("desc_score", "class_overlap"))
     # same size-vs-CPU mismatch as the embed build: the map-assembly agg
     # is small in bytes, so AQE coalesces it to one task; pin the
     # exchange at core width by repartitioning on the grouping key (the
@@ -338,7 +351,15 @@ def feature_map_by_ctx(pairs: DataFrame, entity: DataFrame,
         .repartition(par, "ctx_key")
         .groupBy("ctx_key")
         .agg(F.map_from_entries(F.collect_list(F.struct(
-            "qcode", F.struct("desc_score", "class_overlap")))).alias("fmap")))
+            "qcode", feat_struct))).alias("fmap")))
+
+
+def _fmap_value_fields(feature_map: DataFrame) -> list[str]:
+    """Field names of the fmap's value struct — lets the logits builder
+    infer the typing protocol from a prebuilt map (callers pass the map
+    without re-passing the typing frame it was built from)."""
+    return [f.name
+            for f in feature_map.schema["fmap"].dataType.valueType.fields]
 
 
 def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
@@ -346,7 +367,8 @@ def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
                           weights: dict[str, float],
                           pairs: DataFrame | None = None,
                           feature_map: DataFrame | None = None,
-                          pair_logits: DataFrame | None = None
+                          pair_logits: DataFrame | None = None,
+                          typing_frame: DataFrame | None = None
                           ) -> DataFrame:
     """cand_df (mention_key, ctx_word, cand_arr [, norm_sf, has_coref])
     -> + ``logits`` array.
@@ -377,19 +399,38 @@ def with_candidate_logits(cand_df: DataFrame, entity: DataFrame,
                      .select("ctx_word", F.col("c.qcode").alias("qcode"))
                      .distinct())
         feature_map = feature_map_by_ctx(pairs, entity, entity_emb,
-                                         topic_class)
+                                         topic_class,
+                                         typing_frame=typing_frame)
+    et_mode = (typing_frame is not None
+               or "class_delta" in _fmap_value_fields(feature_map))
 
     j = cand_df.join(
         F.broadcast(feature_map),
         F.coalesce(cand_df["ctx_word"], F.lit(_CTX_NULL_KEY))
         == feature_map["ctx_key"], "left").drop("ctx_key")
     w = weights
+    # summation order (class, pem, dist, desc, bias) matches the row
+    # path and the fixture oracle's fold — bit-exact cross-path parity
+    if et_mode:
+        # ET protocol: same linear mix, with the reference ED layer's
+        # real class features — delta (prior-mode 'class_overlap' weight
+        # slot) and the L2 class distance (the 'class_dist' slot, whose
+        # negative weight penalizes type disagreement).
+        first = (f"{w['class_overlap']}D * "
+                 f"element_at(fmap, c.qcode).class_delta")
+        dist_term = (f"{w['class_dist']}D * "
+                     f"element_at(fmap, c.qcode).class_dist")
+    else:
+        first = (f"{w['class_overlap']}D * "
+                 f"element_at(fmap, c.qcode).class_overlap")
+        dist_term = (f"{w['class_dist']}D * "
+                     f"(1.0D - element_at(fmap, c.qcode).class_overlap)")
     logit_expr = F.expr(
         f"transform(cand_arr, c -> CASE WHEN c.prob = 0D "
         f"THEN cast({config.PEM_ZERO_MASK} as double) ELSE "
-        f"{w['class_overlap']}D * element_at(fmap, c.qcode).class_overlap"
+        f"{first}"
         f" + {w['pem']}D * c.prob"
-        f" + {w['class_dist']}D * (1.0D - element_at(fmap, c.qcode).class_overlap)"
+        f" + {dist_term}"
         f" + {w['desc_score']}D * element_at(fmap, c.qcode).desc_score"
         f" + {w['bias']}D END)")
     if pair_logits is None:

@@ -141,6 +141,7 @@ def run_pipeline(
     extraction_guard_mod: int | None = 4096,
     emb_precision: str = "fp32",
     backward_coref: bool = False,
+    typing_mode: str = "prior",
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -149,6 +150,13 @@ def run_pipeline(
     match dictionary is materialized as a parquet artifact and loaded
     executor-side — no driver collect; pass ``dict_dir`` to place it on
     shared storage in a cluster deployment).
+
+    typing_mode='prior' (default): the class-prior ET stand-in.
+    typing_mode='et': the reference's real F4 path — a deterministic
+    linear+sigmoid entity-typing pass per distinct context word, with
+    the ED layer consuming class_delta/class_dist (operators/
+    entity_typing.py). Swapping protocols changes link decisions, so the
+    flag folds into the checkpoint fingerprint (checkpoint.py).
     """
     t = load_tables(spark, fixture_dir)
     # the API facade (api.RefinedSpark) processes caller-supplied corpora
@@ -237,8 +245,23 @@ def run_pipeline(
     # caching; zero doc-scale shuffles (see observed_pairs docstring)
     pairs = observed_pairs_from_mentions(mentions, pem_arrays,
                                          surf_ctx=surf_ctx)
+    typing_frame = None
+    if typing_mode == "et":
+        # F4 forward pass over the distinct context vocabulary; the
+        # class weight "matrix" derives from the class-edge vocab alone
+        # (model-parameter scale) — see entity_typing.py
+        from .operators.entity_typing import (class_names_sorted,
+                                              et_confidence_table)
+        from .operators.wikidata import class_vocab_from_edges
+
+        names = class_names_sorted(class_vocab_from_edges(t["class_edges"]))
+        typing_frame = et_confidence_table(
+            surf_ctx.select("ctx_word"), names)
+    elif typing_mode != "prior":
+        raise ValueError(f"typing_mode must be prior|et, "
+                         f"got {typing_mode!r}")
     fmap = feature_map_by_ctx(pairs, t["entity"], t["entity_emb"],
-                              t["topic_class"])
+                              t["topic_class"], typing_frame=typing_frame)
     # Zipf dedup of the scoring math: logits once per DISTINCT
     # (surface, ctx) pair, broadcast back; per-mention evaluation only
     # for coref receivers (mention-specific candidate arrays)

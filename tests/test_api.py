@@ -64,3 +64,33 @@ def test_facade_releases_pipeline_caches(spark, fx_t1):
     assert sc.getPersistentRDDs().size() > before  # caches live while lazy
     ref.release_caches()
     assert sc.getPersistentRDDs().size() == before
+
+
+def test_facade_et_mode_and_predicted_types(spark, fx_t1):
+    """typing_mode='et' routes the facade through the real F4 path
+    (links match the independently generated ET expected table), and
+    predicted_types reproduces the per-span top-class golden."""
+    import pandas as pd
+
+    docs = spark.read.parquet(os.path.join(fx_t1, "documents.parquet"))
+    gold = spark.read.parquet(os.path.join(fx_t1, "gold_spans.parquet"))
+
+    ref = RefinedSpark(spark, fx_t1, typing_mode="et")
+    out = ref.process_documents(docs, spans_df=gold)
+    got = {(r["url"], r["start"]): r["pred_qcode"] for r in out.collect()}
+    exp = pd.read_parquet(os.path.join(fx_t1, "expected_links_et.parquet"))
+    want = {(r["url"], r["start"]):
+            (r["pred_qcode"] if pd.notna(r["pred_qcode"]) else None)
+            for _, r in exp.iterrows()}
+    assert got == want and got
+    ref.release_caches()
+
+    types = (ref.predicted_types(docs, gold, k=3)
+             .select("url", "start", "et_rank", "class_name").toPandas()
+             .sort_values(["url", "start", "et_rank"], ignore_index=True))
+    texp = (pd.read_parquet(os.path.join(fx_t1,
+                                         "expected_et_types.parquet"))
+            .sort_values(["url", "start", "et_rank"], ignore_index=True))
+    assert len(types) == len(texp) > 0
+    assert (types["class_name"].to_numpy()
+            == texp["class_name"].to_numpy()).all()
