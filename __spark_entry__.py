@@ -65,6 +65,33 @@ def _fxp(name: str) -> str:
     return os.path.join(FX_T2, f"{name}.parquet")
 
 
+# DuckDB replay of textstats.with_quality's composite score over a 'text'
+# column — ONE constant shared by every oracle that consumes the quality
+# signal (textstats per-doc, host_quality per-host mean), so the replay
+# cannot drift between them.
+_QUALITY_SQL = """
+                     0.4 * least((case when length(text) > 0 then
+                       cast(length(regexp_replace(text, '[^A-Za-z]', '',
+                            'g')) as double) / length(text) else 0.0 end)
+                       * 1.25, 1.0)
+                     + 0.3 * least((case when len(regexp_split_to_array(
+                         text, '\\s+')) > 0 then
+                         cast(len(regexp_extract_all(lower(text),
+                              '\\bthe\\b')) + len(regexp_extract_all(
+                              lower(text), '\\band\\b'))
+                              + len(regexp_extract_all(lower(text),
+                              '\\bof\\b')) + len(regexp_extract_all(
+                              lower(text), '\\bto\\b'))
+                              + len(regexp_extract_all(lower(text),
+                              '\\bin\\b')) as double)
+                           / len(regexp_split_to_array(text, '\\s+'))
+                         else 0.0 end) * 5.0, 1.0)
+                     + 0.3 * (1.0 - least((case when length(text) > 0 then
+                         cast(length(regexp_replace(text,
+                              '[A-Za-z0-9\\s]', '', 'g')) as double)
+                           / length(text) else 0.0 end) * 4.0, 1.0))"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: ER clusters over the t1 web-page corpus."""
     res = run_pipeline(spark, FX_T1, mode="spans")
@@ -933,6 +960,26 @@ def q_links_et(spark, sf):
     return links.select("url", "start", "pred_qcode").orderBy("url", "start")
 
 
+def q_host_quality(spark, sf):
+    """Host-level quality curation (operators/hosts.py): per-host doc
+    count + mean composite quality via ONE map-side-combining agg on the
+    canonical host (crawl.py's shared regex atoms — the DuckDB replay
+    uses the identical rules via host_sql), plus the condemnation
+    decision at tau=0.61 / min_docs=2. Both clauses are non-vacuous on
+    the fixture corpus (17 hosts condemned, 3 low-quality singletons
+    protected by min_docs); tau sits 2e-4 from the nearest host mean so
+    cross-engine float noise cannot flip the flag. The avg is compared
+    at round-6 (engines' summation orders differ at ~1e-15)."""
+    from refined_spark.operators.hosts import host_stats
+
+    s = host_stats(_fx(spark, sf, "crawl_snapshots"))
+    condemned = (F.col("avg_quality") < 0.61) & (F.col("n_docs") >= 2)
+    return (s.select("host", "n_docs",
+                     F.round("avg_quality", 6).alias("avg_quality"),
+                     (~condemned).alias("kept"))
+            .orderBy("host"))
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1208,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_latest": q_snapshot_latest,
         "et_types": q_et_types,
         "links_et": q_links_et,
+        "host_quality": q_host_quality,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1228,7 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_f1": q_pairwise_f1,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
-        "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
         "job_results_page": q_job_results_page,
         "job_metrics": q_job_metrics,
@@ -1244,9 +1291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (anchors.py untouched in r3, sibling gate anchor_pem stays
         # inside) and bpe_tokens (green r2, bpe.py untouched in r3)
         # rotated out for the two new F4 entity-typing gates
-        # et_types / links_et
+        # et_types / links_et; table_topk (tables.py untouched in r3,
+        # siblings table_link + table_accuracy stay inside) rotated out
+        # for host_quality
         "link_extract": q_link_extract,
         "bpe_tokens": q_bpe_tokens,
+        "table_topk": q_table_topk,
         "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
@@ -1666,6 +1716,28 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+def _host_quality_oracle_sql() -> str:
+    """DuckDB replay of host-level curation: host_sql emits the
+    IDENTICAL canonical-host regex rules the Spark Column code uses
+    (shared crawl.py atoms), the quality expression is the shared
+    _QUALITY_SQL constant (same replay the textstats gate runs), and
+    the condemnation clause replays tau/min_docs verbatim."""
+    from refined_spark.operators.hosts import host_sql
+
+    return f"""
+        with h as (
+          select {host_sql("url")} as host, {_QUALITY_SQL} as q
+          from read_parquet('{_fxp("crawl_snapshots")}')
+        ), s as (
+          select host, count(*) as n_docs, avg(q) as avg_quality
+          from h group by host
+        )
+        select host, n_docs, round(avg_quality, 6) as avg_quality,
+               not (avg_quality < 0.61 and n_docs >= 2) as kept
+        from s order by host
     """
 
 
@@ -2275,7 +2347,7 @@ def oracle_sql() -> dict[str, str]:
             select lang_pred, count(*) as n_docs
             from pred group by 1 order by 1
         """,
-        "textstats": """
+        "textstats": f"""
             select doc_id,
                    cast(length(text) as int) as n_chars,
                    case when length(text) > 0 then
@@ -2286,28 +2358,7 @@ def oracle_sql() -> dict[str, str]:
                      cast(length(regexp_replace(text,
                           '[A-Za-z0-9\\s]', '', 'g')) as double)
                        / length(text) else 0.0 end as punct_ratio,
-                   round(
-                     0.4 * least((case when length(text) > 0 then
-                       cast(length(regexp_replace(text, '[^A-Za-z]', '',
-                            'g')) as double) / length(text) else 0.0 end)
-                       * 1.25, 1.0)
-                     + 0.3 * least((case when len(regexp_split_to_array(
-                         text, '\\s+')) > 0 then
-                         cast(len(regexp_extract_all(lower(text),
-                              '\\bthe\\b')) + len(regexp_extract_all(
-                              lower(text), '\\band\\b'))
-                              + len(regexp_extract_all(lower(text),
-                              '\\bof\\b')) + len(regexp_extract_all(
-                              lower(text), '\\bto\\b'))
-                              + len(regexp_extract_all(lower(text),
-                              '\\bin\\b')) as double)
-                           / len(regexp_split_to_array(text, '\\s+'))
-                         else 0.0 end) * 5.0, 1.0)
-                     + 0.3 * (1.0 - least((case when length(text) > 0 then
-                         cast(length(regexp_replace(text,
-                              '[A-Za-z0-9\\s]', '', 'g')) as double)
-                           / length(text) else 0.0 end) * 4.0, 1.0)),
-                   6) as quality_score,
+                   round({_QUALITY_SQL}, 6) as quality_score,
                    cast(len(regexp_extract_all(text,
                         '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) as int)
                      as n_tokens,
@@ -2505,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{_fxp("expected_links_et")}')
             order by url, start
         """,
+        "host_quality": _host_quality_oracle_sql(),
         "table_link": f"""
             with {_table_link_cte()}
             select table_id, "row", pred_qcode
