@@ -2,7 +2,7 @@
 
 Usage (via tools/submit.sh):
     spark-submit --py-files refined_spark.zip tools/run_job.py \
-        <corpus_dir> <run_dir>
+        <corpus_dir> <run_dir> [--backward-coref] [--typing-mode=et]
 
 Cancellation (the reference's cancel-endpoint analog,
 api/app/endpoints/refined_api.py:192-206): from any shell,
@@ -30,7 +30,8 @@ import time
 from pyspark.sql import SparkSession
 
 
-def main(corpus_dir: str, run_dir: str) -> None:
+def main(corpus_dir: str, run_dir: str,
+         backward_coref: bool = False, typing_mode: str = "prior") -> None:
     spark = SparkSession.builder.appName("refined_spark_job").getOrCreate()
     from refined_spark.checkpoint import run_pipeline_checkpointed
     from refined_spark.operators.extract import assert_extraction_contract
@@ -45,7 +46,9 @@ def main(corpus_dir: str, run_dir: str) -> None:
     n_checked = assert_extraction_contract(docs, mod=64)
     try:
         res = run_pipeline_checkpointed(spark, corpus_dir, run_dir,
-                                        mode="spans")
+                                        mode="spans",
+                                        backward_coref=backward_coref,
+                                        typing_mode=typing_mode)
     except JobCancelledError as e:
         print(json.dumps(dict(status="cancelled", detail=str(e),
                               wall_sec=round(time.time() - t0, 2))))
@@ -78,4 +81,18 @@ if __name__ == "__main__":
         print(json.dumps(dict(status="cancel_requested",
                               run_dir=sys.argv[2])))
     else:
-        main(sys.argv[1], sys.argv[2])
+        # protocol flags (both fold into the checkpoint fingerprint, so a
+        # run_dir submitted under one protocol recomputes under another):
+        #   --backward-coref      2-pass person coref
+        #   --typing-mode=et      real F4 entity-typing features in ED
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        flags = [a for a in sys.argv[1:] if a.startswith("--")]
+        tmode = "prior"
+        for f in flags:
+            if f.startswith("--typing-mode="):
+                tmode = f.split("=", 1)[1]
+            elif f != "--backward-coref":
+                raise SystemExit(f"unknown flag {f}")
+        main(args[0], args[1],
+             backward_coref="--backward-coref" in flags,
+             typing_mode=tmode)

@@ -24,4 +24,4 @@ exec spark-submit \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-32}" \
   --py-files "$ZIP" \
   "$@" \
-  "$REPO/tools/run_job.py" "$CORPUS" "$RUN_DIR"
+  "$REPO/tools/run_job.py" "$CORPUS" "$RUN_DIR" ${JOB_FLAGS:-}
