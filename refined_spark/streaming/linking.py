@@ -68,12 +68,16 @@ class StreamingLinker:
 
     def __init__(self, spark: SparkSession, fixture_dir: str,
                  mode: str = "spans", backward_coref: bool = False,
-                 dict_dir: str | None = None):
+                 dict_dir: str | None = None, typing_mode: str = "prior"):
         if mode not in ("spans", "e2e"):
             raise ValueError(f"mode must be spans|e2e, got {mode!r}")
+        if typing_mode not in ("prior", "et"):
+            raise ValueError(f"typing_mode must be prior|et, "
+                             f"got {typing_mode!r}")
         self.spark = spark
         self.mode = mode
         self.backward = backward_coref
+        self.typing_mode = typing_mode
         t = load_tables(spark, fixture_dir)
         self.tables = t
         self.weights = load_weights(t["ed_weights"])
@@ -86,6 +90,15 @@ class StreamingLinker:
             self.dict_path = write_match_dictionary(
                 t["pem"], t["entity"],
                 dict_dir or _default_dict_dir(fixture_dir))
+        self.class_names = None
+        if typing_mode == "et":
+            # static model parameter: the class vocabulary (the weight
+            # matrix derives from it executor-side, memoized per process)
+            from ..operators.entity_typing import class_names_sorted
+            from ..operators.wikidata import class_vocab_from_edges
+
+            self.class_names = class_names_sorted(
+                class_vocab_from_edges(t["class_edges"]))
 
     def link_batch(self, documents: DataFrame) -> DataFrame:
         """One micro-batch of input_hint-shaped documents → link rows.
@@ -105,9 +118,20 @@ class StreamingLinker:
         cand_arr = mention_candidate_arrays(mentions, self.pem_arrays,
                                             backward=self.backward)
         t = self.tables
+        typing_frame = None
+        if self.typing_mode == "et":
+            # per-batch is per-corpus here: a confidence row is a pure
+            # function of (ctx_word, class vocab), so the batch-subset
+            # frame carries exactly the full-corpus values for the ctx
+            # words present — the same invariance argument as the
+            # feature map
+            from ..operators.entity_typing import et_confidence_table
+
+            typing_frame = et_confidence_table(
+                cand_arr.select("ctx_word"), self.class_names)
         with_logits = with_candidate_logits(
             cand_arr, t["entity"], t["entity_emb"], t["topic_class"],
-            self.weights)
+            self.weights, typing_frame=typing_frame)
         return links_from_logits(with_logits).select(*LINK_COLS)
 
     def release(self) -> None:
@@ -129,6 +153,7 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
                     out_dir: str | None = None,
                     checkpoint_dir: str | None = None,
                     backward_coref: bool = False,
+                    typing_mode: str = "prior",
                     timeout: int = 300) -> DataFrame:
     """Run the linking pipeline as a finite file stream
     (Trigger.AvailableNow) over ``documents_dir`` and return the
@@ -158,7 +183,8 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
     """
     schema = spark.read.parquet(documents_dir).schema
     linker = StreamingLinker(spark, fixture_dir, mode=mode,
-                             backward_coref=backward_coref)
+                             backward_coref=backward_coref,
+                             typing_mode=typing_mode)
     out = out_dir or tempfile.mkdtemp(prefix="rs_stream_links_")
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(),

@@ -211,3 +211,33 @@ def test_periodic_clusters_over_stream_sink(spark, fx_t1, tmp_path_factory):
     got = {tuple(r) for r in
            periodic_clusters(spark, sink)["clusters"].collect()}
     assert got == want
+
+
+def test_streaming_links_et_mode_equals_batch_et(spark, fx_t1,
+                                                 tmp_path_factory):
+    """Batch-boundary invariance holds under typing_mode='et' too: the
+    confidence row is a pure function of (ctx_word, class vocab), so a
+    per-batch typing frame carries exactly the full-corpus values for
+    the ctx words present. 2-batch ET stream == one-shot ET pipeline ==
+    the independently generated expected_links_et golden."""
+    import pandas as pd
+
+    from refined_spark.streaming.linking import (
+        split_documents,
+        streaming_links,
+    )
+
+    split = split_documents(
+        spark, os.path.join(fx_t1, "documents.parquet"), 2,
+        dest=str(tmp_path_factory.mktemp("stream_docs_et")))
+    got_df = streaming_links(
+        spark, fx_t1, split, mode="spans", typing_mode="et",
+        max_files_per_trigger=1,
+        out_dir=str(tmp_path_factory.mktemp("stream_links_et_out")))
+    got = {(r["url"], r["start"]): r["pred_qcode"]
+           for r in got_df.select("url", "start", "pred_qcode").collect()}
+    exp = pd.read_parquet(os.path.join(fx_t1, "expected_links_et.parquet"))
+    want = {(r["url"], r["start"]):
+            (r["pred_qcode"] if pd.notna(r["pred_qcode"]) else None)
+            for _, r in exp.iterrows()}
+    assert got == want and got
