@@ -980,6 +980,39 @@ def q_host_quality(spark, sf):
             .orderBy("host"))
 
 
+def q_link_errors(spark, sf):
+    """A5 error-analysis table (operators/metrics.py:link_errors) — the
+    reference's per-prediction error log (my_tests/error_analysis.py) as
+    one span-key full-outer join: correct / wrong_entity / missed /
+    spurious per KB-annotated span. Input links = the expected_links
+    fixture table on BOTH sides (bitwise-shared floats), so this gate
+    isolates the metric math; the linker itself is gated by `links`.
+    The softmax confidence is excluded from the compared surface (links
+    gate convention)."""
+    from refined_spark.operators.metrics import link_errors
+
+    return (link_errors(_fx(spark, sf, "gold_spans"),
+                        _fx(spark, sf, "expected_links"))
+            .select("url", "start", "gold_qcode", "pred_qcode",
+                    "error_type")
+            .orderBy("url", "start"))
+
+
+def q_pr_curve(spark, sf):
+    """A5 PR-curve sweep (operators/metrics.py:pr_curve) — the
+    reference's precision/recall-vs-confidence-threshold instrument
+    (my_tests/pr_curve.py) with the scale-correct shape: per-bucket
+    map-side partial aggregation (<= ~10^4 rounded-confidence buckets
+    regardless of corpus size) + a cumulative window over the TINY
+    bucket frame (dense_index's counts-frame pattern), never a global
+    sort over predictions. Same shared-input convention as
+    link_errors."""
+    from refined_spark.operators.metrics import pr_curve
+
+    return pr_curve(_fx(spark, sf, "gold_spans"),
+                    _fx(spark, sf, "expected_links"))
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1256,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "et_types": q_et_types,
         "links_et": q_links_et,
         "host_quality": q_host_quality,
+        "link_errors": q_link_errors,
+        "pr_curve": q_pr_curve,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1276,8 +1311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_f1": q_pairwise_f1,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
-        "table_accuracy": q_table_accuracy,
-        "job_results_page": q_job_results_page,
         "job_metrics": q_job_metrics,
         "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1291,12 +1324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (anchors.py untouched in r3, sibling gate anchor_pem stays
         # inside) and bpe_tokens (green r2, bpe.py untouched in r3)
         # rotated out for the two new F4 entity-typing gates
-        # et_types / links_et; table_topk (tables.py untouched in r3,
-        # siblings table_link + table_accuracy stay inside) rotated out
-        # for host_quality
+        # et_types / links_et; table_topk + table_accuracy (tables.py
+        # untouched in r3, sibling table_link stays inside) rotated out
+        # for host_quality + link_errors; job_results_page (sink.py
+        # untouched in r3, checkpoint coverage stays via job_metrics)
+        # rotated out for pr_curve
         "link_extract": q_link_extract,
         "bpe_tokens": q_bpe_tokens,
         "table_topk": q_table_topk,
+        "table_accuracy": q_table_accuracy,
+        "job_results_page": q_job_results_page,
         "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
@@ -2557,6 +2594,72 @@ def oracle_sql() -> dict[str, str]:
             order by url, start
         """,
         "host_quality": _host_quality_oracle_sql(),
+        "link_errors": f"""
+            with gold as (
+              select url, start, gold_qcode
+              from read_parquet('{_fxp("gold_spans")}')
+              where gold_qcode is not null and gold_qcode <> 'Q0'
+            ), pred as (
+              select url, start, pred_qcode
+              from read_parquet('{_fxp("expected_links")}')
+            ), j as (
+              select coalesce(g.url, p.url) as url,
+                     coalesce(g.start, p.start) as start,
+                     g.gold_qcode, p.pred_qcode
+              from gold g full outer join pred p
+                on g.url = p.url and g.start = p.start
+            )
+            select url, start, gold_qcode, pred_qcode,
+                   case when gold_qcode is null
+                          and pred_qcode is not null then 'spurious'
+                        when gold_qcode is null then null
+                        when pred_qcode is null then 'missed'
+                        when pred_qcode = gold_qcode then 'correct'
+                        else 'wrong_entity' end as error_type
+            from j where (case when gold_qcode is null
+                          and pred_qcode is not null then 'spurious'
+                        when gold_qcode is null then null
+                        when pred_qcode is null then 'missed'
+                        when pred_qcode = gold_qcode then 'correct'
+                        else 'wrong_entity' end) is not null
+            order by url, start
+        """,
+        "pr_curve": f"""
+            with gold as (
+              select url, start, gold_qcode
+              from read_parquet('{_fxp("gold_spans")}')
+              where gold_qcode is not null and gold_qcode <> 'Q0'
+            ), pred as (
+              select url, start, pred_qcode, confidence
+              from read_parquet('{_fxp("expected_links")}')
+              where pred_qcode is not null
+            ), j as (
+              select round(p.confidence, 4) as threshold,
+                     case when g.gold_qcode is not null
+                            and p.pred_qcode = g.gold_qcode
+                          then 1 else 0 end as hit
+              from pred p left join gold g
+                on p.url = g.url and p.start = g.start
+            ), b as (
+              select threshold, count(*) as b_pred,
+                     sum(hit) as b_correct
+              from j group by threshold
+            ), c as (
+              select threshold,
+                     sum(b_pred) over (order by threshold desc
+                       rows unbounded preceding) as n_pred,
+                     sum(b_correct) over (order by threshold desc
+                       rows unbounded preceding) as n_correct
+              from b
+            )
+            select threshold, n_pred, n_correct,
+                   round(cast(n_correct as double) / n_pred, 6)
+                     as precision,
+                   round(cast(n_correct as double)
+                     / (select greatest(count(*), 1) from gold), 6)
+                     as recall
+            from c order by threshold desc
+        """,
         "table_link": f"""
             with {_table_link_cte()}
             select table_id, "row", pred_qcode

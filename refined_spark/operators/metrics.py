@@ -108,3 +108,89 @@ def pairwise_f1(pairs: DataFrame, ours: DataFrame,
          / F.greatest(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
                       F.lit(1))).alias("f1"),
     )
+
+
+def link_errors(gold_spans: DataFrame, links: DataFrame) -> DataFrame:
+    """Per-prediction error table — the reference's error-analysis log
+    (my_tests/error_analysis.py: per-sample input / predicted QID /
+    ground truth / confidence CSV) as a DataFrame job. One row per
+    KB-annotated gold span:
+
+      error_type = 'correct'       pred == gold
+                   'wrong_entity'  pred non-NIL but != gold
+                   'missed'        pred NIL (below threshold / NOTA),
+                                   gold annotated
+
+    plus the spurious predictions (pred non-NIL on a span with no KB
+    annotation) as 'spurious' rows with NULL gold_qcode. One span-key
+    full-outer join — the shuffle is mention-scale with key-width rows;
+    document text never enters (join mention_text downstream if a human
+    is reading the sample)."""
+    gold = (gold_spans
+            .where(F.col("gold_qcode").isNotNull()
+                   & (F.col("gold_qcode") != "Q0"))
+            .select("url", "start", "gold_qcode"))
+    pred = links.select("url", "start", "pred_qcode", "confidence")
+    j = gold.join(pred, ["url", "start"], "full_outer")
+    error_type = (
+        F.when(F.col("gold_qcode").isNull()
+               & F.col("pred_qcode").isNotNull(), F.lit("spurious"))
+        .when(F.col("gold_qcode").isNull(), F.lit(None))
+        .when(F.col("pred_qcode").isNull(), F.lit("missed"))
+        .when(F.col("pred_qcode") == F.col("gold_qcode"),
+              F.lit("correct"))
+        .otherwise(F.lit("wrong_entity")))
+    return (j.withColumn("error_type", error_type)
+            .where(F.col("error_type").isNotNull())
+            .select("url", "start", "gold_qcode", "pred_qcode",
+                    "confidence", "error_type"))
+
+
+def pr_curve(gold_spans: DataFrame, links: DataFrame,
+             bucket_decimals: int = 4) -> DataFrame:
+    """Precision/recall as a function of the ED confidence threshold —
+    the reference's PR-curve instrument (my_tests/pr_curve.py sweeps
+    sklearn.precision_recall_curve over logged confidences). One row per
+    distinct confidence bucket t (descending):
+
+      n_pred / n_correct   cumulative predictions (conf >= t) and hits
+      precision            n_correct / n_pred
+      recall               n_correct / num_gold
+
+    Scale shape: the naive form (a global sort + running sum over every
+    prediction) is a single-task window at corpus scale. Instead
+    predictions partial-aggregate per ROUNDED confidence bucket
+    (map-side combine; <= 10^bucket_decimals+1 buckets regardless of
+    corpus size), and the cumulative runs as a window over the tiny
+    bucket frame — the same counts-frame shape as dense_index's offset
+    pass. num_gold is one scalar broadcast into the projection."""
+    from pyspark.sql import Window
+
+    gold = (gold_spans
+            .where(F.col("gold_qcode").isNotNull()
+                   & (F.col("gold_qcode") != "Q0"))
+            .select("url", "start", "gold_qcode"))
+    pred = (links.where(F.col("pred_qcode").isNotNull())
+            .select("url", "start", "pred_qcode", "confidence"))
+    j = pred.join(gold, ["url", "start"], "left")
+    per_bucket = (j.select(
+        F.round("confidence", bucket_decimals).alias("threshold"),
+        (F.col("gold_qcode").isNotNull()
+         & (F.col("pred_qcode") == F.col("gold_qcode")))
+        .cast("long").alias("hit"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("b_pred"),
+             F.sum("hit").alias("b_correct")))
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0)  # tiny bucket frame (see above)
+    n_gold = gold.count()
+    return (per_bucket
+            .withColumn("n_pred", F.sum("b_pred").over(w))
+            .withColumn("n_correct", F.sum("b_correct").over(w))
+            .select(
+                "threshold", "n_pred", "n_correct",
+                F.round(F.col("n_correct") / F.col("n_pred"), 6)
+                .alias("precision"),
+                F.round(F.col("n_correct") / F.lit(max(n_gold, 1)), 6)
+                .alias("recall"))
+            .orderBy(F.col("threshold").desc()))
