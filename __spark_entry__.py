@@ -1013,6 +1013,24 @@ def q_pr_curve(spark, sf):
                     _fx(spark, sf, "expected_links"))
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.125}
+
+
+def q_sample_strata(spark, sf):
+    """Deterministic stratified corpus sampling (operators/sampling.py):
+    hash-predicate selection (md5(salt||key) < rate threshold, compared
+    LEXICOGRAPHICALLY on the hex string so the DuckDB replay is exact)
+    — map-only, reproducible across runs/retries/cluster sizes, nested
+    subsamples for free. Per-lang rates exercise full-keep (de 1.0),
+    three fractional rates, and the default_rate=0 drop (es absent from
+    the rate map)."""
+    from refined_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return (stratified_sample(docs, _SAMPLE_RATES, "lang", "doc_id")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1291,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": q_host_quality,
         "link_errors": q_link_errors,
         "pr_curve": q_pr_curve,
+        "sample_strata": q_sample_strata,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1303,7 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_correct": q_span_correct,
         "span_merge": q_span_merge,
         "bio_decode": q_bio_decode,
-        "mention_detect": q_mention_detect,
         "candidates": q_candidates,
         "links": q_links,
         "topk_links": q_topk_links,
@@ -1328,12 +1346,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched in r3, sibling table_link stays inside) rotated out
         # for host_quality + link_errors; job_results_page (sink.py
         # untouched in r3, checkpoint coverage stays via job_metrics)
-        # rotated out for pr_curve
+        # rotated out for pr_curve; mention_detect (mentions.py untouched
+        # in r3; the dictionary-MD path stays pytest-gated via the e2e
+        # streaming parity + checkpoint tests) rotated out for
+        # sample_strata
         "link_extract": q_link_extract,
         "bpe_tokens": q_bpe_tokens,
         "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
         "job_results_page": q_job_results_page,
+        "mention_detect": q_mention_detect,
         "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
@@ -1753,6 +1775,24 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+def _sample_strata_oracle_sql() -> str:
+    """DuckDB replay of the stratified hash sample: per-stratum
+    ``sample_sql`` predicates built from the SAME rate map and the SAME
+    rate_to_hex_threshold — md5 hex is identical in both engines and
+    the compare is lexicographic on the hex string, so the replay is
+    exact, not statistical."""
+    from refined_spark.operators.sampling import sample_sql
+
+    clauses = " or ".join(
+        f"(lang = '{s}' and {sample_sql('doc_id', r)})"
+        for s, r in sorted(_SAMPLE_RATES.items()))
+    return f"""
+        select doc_id, lang from documents
+        where {clauses}
+        order by doc_id
     """
 
 
@@ -2624,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
                         else 'wrong_entity' end) is not null
             order by url, start
         """,
+        "sample_strata": _sample_strata_oracle_sql(),
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode
