@@ -1031,6 +1031,27 @@ def q_sample_strata(spark, sf):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_lm_quality(spark, sf):
+    """CCNet-style LM perplexity scoring (operators/lm_quality.py):
+    train a deterministic unigram LM on the corpus (ONE map-side-
+    combining token-count agg) and score every document by mean −logp
+    (log-perplexity) via scan-local token explode → broadcast vocab
+    join → per-doc partial agg; corpus text crosses no exchange. The
+    fixture corpus plays both the clean training corpus and the scored
+    corpus (CCNet trains on Wikipedia; the role split is exercised with
+    an OOV held-out doc in pytest). Scores round at 6 (ln may differ in
+    the last ulp between libms; counts and divisions are identical)."""
+    from refined_spark.operators.lm_quality import (unigram_lm,
+                                                    with_lm_score)
+
+    docs = _t(spark, sf, "documents")
+    lm = unigram_lm(docs)
+    return (with_lm_score(docs, lm)
+            .select("doc_id", "n_tokens",
+                    F.round("lm_score", 6).alias("lm_score"))
+            .orderBy("doc_id"))
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1310,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_errors": q_link_errors,
         "pr_curve": q_pr_curve,
         "sample_strata": q_sample_strata,
+        "lm_quality": q_lm_quality,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1321,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "span_correct": q_span_correct,
         "span_merge": q_span_merge,
-        "bio_decode": q_bio_decode,
         "candidates": q_candidates,
         "links": q_links,
         "topk_links": q_topk_links,
@@ -1349,8 +1370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out for pr_curve; mention_detect (mentions.py untouched
         # in r3; the dictionary-MD path stays pytest-gated via the e2e
         # streaming parity + checkpoint tests) rotated out for
-        # sample_strata
+        # sample_strata; bio_decode (E8 — its function is untouched
+        # since its r1 green row; the r3 spans.py change was the E3
+        # SENT_RE escaping fix, evidenced by sentence_split which stays
+        # inside) rotated out for lm_quality
         "link_extract": q_link_extract,
+        "bio_decode": q_bio_decode,
         "bpe_tokens": q_bpe_tokens,
         "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
@@ -2665,6 +2690,21 @@ def oracle_sql() -> dict[str, str]:
             order by url, start
         """,
         "sample_strata": _sample_strata_oracle_sql(),
+        "lm_quality": """
+            with toks as (
+              select doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) as token
+              from documents
+            ), lm as (
+              select token, count(*) as cnt from toks group by token
+            ), tot as (select cast(sum(cnt) as double) as t from lm)
+            select doc_id, count(*) as n_tokens,
+                   round(-sum(ln(cast(l.cnt as double) / tot.t))
+                         / count(*), 6) as lm_score
+            from toks join lm l using (token), tot
+            group by doc_id
+            order by doc_id
+        """,
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode
