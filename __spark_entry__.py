@@ -1052,6 +1052,28 @@ def q_lm_quality(spark, sf):
             .orderBy("doc_id"))
 
 
+_CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
+               rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
+
+
+def q_curate_corpus(spark, sf):
+    """End-to-end corpus curation (operators/curation.py): crawl
+    collapse → host cut → LM perplexity cut → stratified hash sample,
+    each stage the already-gated operator, composed in the canonical
+    web-pipeline order. Every stage bites on the fixture corpus
+    (396 → 160 → 142 → 131 → 72 rows at t2; all four lang strata
+    survive, en full-keep). The oracle replays all four stages as one
+    CTE chain from the same shared SQL helpers; lm_tau sits ≥1e-3 from
+    the nearest doc score (cross-engine drift is ~1e-10). min_docs=1
+    here because the collapse leaves one page per fixture host — the
+    min_docs protection clause is exercised by the host_quality gate."""
+    from refined_spark.operators.curation import curate_corpus
+
+    snaps = _fx(spark, sf, "crawl_snapshots")
+    return (curate_corpus(snaps, **_CURATE)
+            .select("url", "lang").orderBy("url"))
+
+
 def q_stream_window_counts(spark, sf):
     """Batch run of the streaming windowed-agg plan (same logical plan the
     readStream path uses; streaming execution tested in pytest)."""
@@ -1332,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve": q_pr_curve,
         "sample_strata": q_sample_strata,
         "lm_quality": q_lm_quality,
+        "curate_corpus": q_curate_corpus,
         # --- ER core (green r2, re-verified while in window) ---
         "extract_text": q_extract_text,
         "pem_build": q_pem_build,
@@ -1342,7 +1365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_resolve": q_date_resolve,
         "sentence_split": q_sentence_split,
         "span_correct": q_span_correct,
-        "span_merge": q_span_merge,
         "candidates": q_candidates,
         "links": q_links,
         "topk_links": q_topk_links,
@@ -1373,9 +1395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_strata; bio_decode (E8 — its function is untouched
         # since its r1 green row; the r3 spans.py change was the E3
         # SENT_RE escaping fix, evidenced by sentence_split which stays
-        # inside) rotated out for lm_quality
+        # inside) rotated out for lm_quality; span_merge rotated out for
+        # curate_corpus on the same function-level rationale (E7
+        # untouched since its green rows; span_correct + sentence_split
+        # keep spans.py evidenced inside)
         "link_extract": q_link_extract,
         "bio_decode": q_bio_decode,
+        "span_merge": q_span_merge,
         "bpe_tokens": q_bpe_tokens,
         "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
@@ -1818,6 +1844,62 @@ def _sample_strata_oracle_sql() -> str:
         select doc_id, lang from documents
         where {clauses}
         order by doc_id
+    """
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """DuckDB replay of the 4-stage curation composition as one CTE
+    chain, each stage built from the SAME shared helpers its standalone
+    gate uses (canonical_url_sql, host_sql, _QUALITY_SQL, the lm
+    unnest/ln replay, sample_sql) — the two engines cannot drift
+    stage-by-stage."""
+    from refined_spark.operators.crawl import canonical_url_sql
+    from refined_spark.operators.hosts import host_sql
+    from refined_spark.operators.sampling import sample_sql
+
+    cfg = _CURATE
+    sample = " or ".join(
+        f"(lang = '{s}' and {sample_sql('url', r)})"
+        for s, r in sorted(cfg["rates"].items()))
+    return f"""
+        with c as (
+          select *, {canonical_url_sql("url")} as canonical_url
+          from read_parquet('{_fxp("crawl_snapshots")}')
+        ), pages as (
+          select url, warc_ts, text, lang from (
+            select *, row_number() over (partition by canonical_url
+              order by warc_ts desc, url desc) as rn
+            from c) where rn = 1
+        ), scored as (
+          select *, {host_sql("url")} as host, {_QUALITY_SQL} as q
+          from pages
+        ), bad as (
+          select host from scored group by host
+          having avg(q) < {cfg["host_tau"]}
+             and count(*) >= {cfg["host_min_docs"]}
+        ), hostkept as (
+          select url, text, lang from scored
+          where host not in (select host from bad)
+        ), toks as (
+          select url, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')) as token
+          from hostkept
+        ), lm as (
+          select token, count(*) as cnt from toks group by token
+        ), tot as (select cast(sum(cnt) as double) as t from lm),
+        docsc as (
+          select url, -sum(ln(cast(l.cnt as double) / tot.t))
+                 / count(*) as lm_score
+          from toks join lm l using (token), tot
+          group by url
+        ), fluent as (
+          select h.url, h.lang from hostkept h
+          join docsc d using (url)
+          where d.lm_score <= {cfg["lm_tau"]}
+        )
+        select url, lang from fluent
+        where {sample}
+        order by url
     """
 
 
@@ -2690,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
             order by url, start
         """,
         "sample_strata": _sample_strata_oracle_sql(),
+        "curate_corpus": _curate_corpus_oracle_sql(),
         "lm_quality": """
             with toks as (
               select doc_id, unnest(regexp_extract_all(lower(text),

@@ -1,0 +1,55 @@
+"""End-to-end corpus curation — the training-data pipeline as ONE
+composition of this package's operators, in the canonical order every
+published web pipeline uses (CDX collapse → host-level pruning →
+model-based quality cut → reproducible sampling):
+
+1. **Crawl-snapshot collapse** (`crawl.drop_stale_snapshots`) — URL
+   canonicalization + latest-crawl-wins; the corpus drops from
+   snapshot-scale to page-scale.
+2. **Host curation** (`hosts.drop_low_quality_hosts`) — condemn origins
+   whose mean heuristic quality falls below ``host_tau``.
+3. **LM perplexity cut** (`lm_quality`) — train the unigram LM on the
+   host-curated survivors, drop the high-perplexity tail at ``lm_tau``
+   (the CCNet shape: the model is trained on the cleaner corpus the
+   earlier stages produced).
+4. **Stratified hash sample** (`sampling.stratified_sample`) — per-lang
+   corpus mixing, bit-reproducible.
+
+Content near-dup removal (`dedup.drop_near_dups` over MinHash-LSH →
+Jaccard-verified pair edges) slots between 3 and 4 in production; it is
+exercised in pytest composition (the driver-oracled entry keeps to the
+stages whose DuckDB replay is exact rather than
+probabilistic-structure-compared).
+
+Scale shape: each stage is the already-audited plan of its operator —
+one map-side-combining agg per aggregation stage, anti/semi joins on
+key-width frames, a map-only sample — so the composition's shuffle
+census is the SUM of its parts, with corpus text never crossing an
+exchange after stage 1's collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .crawl import drop_stale_snapshots
+from .hosts import drop_low_quality_hosts
+from .lm_quality import drop_high_perplexity, unigram_lm
+from .sampling import stratified_sample
+
+
+def curate_corpus(snapshots: DataFrame, *,
+                  host_tau: float, host_min_docs: int,
+                  lm_tau: float, rates: dict[str, float],
+                  strata_col: str = "lang", url_col: str = "url",
+                  salt: str = "s0") -> DataFrame:
+    """snapshots(url, warc_ts, text, <strata_col>, …) → the curated,
+    sampled corpus, input schema preserved. See module docstring for
+    the stage order and each stage's scale shape."""
+    pages = drop_stale_snapshots(snapshots, url_col=url_col)
+    kept_hosts = drop_low_quality_hosts(
+        pages, host_tau, host_min_docs, url_col=url_col)
+    lm = unigram_lm(kept_hosts)
+    fluent = drop_high_perplexity(kept_hosts, lm, lm_tau, id_col=url_col)
+    return stratified_sample(fluent, rates, strata_col, url_col,
+                             salt=salt)

@@ -1,0 +1,69 @@
+"""End-to-end corpus curation composition (operators/curation.py)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from refined_spark.operators.curation import curate_corpus
+
+CFG = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
+           rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
+
+
+def test_every_stage_bites_and_schema_preserved(spark, fx_t1):
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet"))
+    out = curate_corpus(snaps, **CFG)
+    assert out.columns == snaps.columns
+    n_in, n_out = snaps.count(), out.count()
+    assert 0 < n_out < n_in
+    # stage-by-stage strict decreases (each clause is load-bearing)
+    from refined_spark.operators.crawl import drop_stale_snapshots
+    from refined_spark.operators.hosts import drop_low_quality_hosts
+    from refined_spark.operators.lm_quality import (drop_high_perplexity,
+                                                    unigram_lm)
+
+    pages = drop_stale_snapshots(snaps)
+    hosted = drop_low_quality_hosts(pages, CFG["host_tau"],
+                                    CFG["host_min_docs"])
+    lm = unigram_lm(hosted)
+    fluent = drop_high_perplexity(hosted, lm, CFG["lm_tau"],
+                                  id_col="url")
+    counts = [snaps.count(), pages.count(), hosted.count(),
+              fluent.count(), n_out]
+    assert all(a > b for a, b in zip(counts, counts[1:])), counts
+    # reproducible end to end (hash sampling, deterministic picks)
+    again = {r["url"] for r in curate_corpus(snaps, **CFG)
+             .select("url").collect()}
+    assert again == {r["url"] for r in out.select("url").collect()}
+
+
+def test_near_dup_stage_composes(spark, fx_t1):
+    """Production slot between the LM cut and the sample: MinHash-LSH →
+    Jaccard-verified pair edges → survivor selection. Inject an exact
+    near-dup page pair and show the composition removes one of them
+    while the rest of the curated corpus is untouched."""
+    from refined_spark.operators.crawl import drop_stale_snapshots
+    from refined_spark.operators.dedup import (drop_near_dups,
+                                               jaccard_verify,
+                                               lsh_candidate_pairs,
+                                               minhash_signatures)
+
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet"))
+    # the dedup operators key on LONG doc ids (the documents-table
+    # contract); derive one per page url
+    pages = drop_stale_snapshots(snaps).select(
+        F.xxhash64("url").alias("doc_id"), F.col("text"),
+        F.length("text").alias("n_chars"))
+    base = pages.limit(1).select(
+        F.lit(-12345).cast("long").alias("doc_id"), "text", "n_chars")
+    corpus = pages.unionByName(base)
+    sigs = minhash_signatures(corpus)
+    pairs = jaccard_verify(lsh_candidate_pairs(sigs), corpus,
+                           threshold=0.999999)
+    cleaned = drop_near_dups(corpus, pairs)
+    assert cleaned.count() == corpus.count() - 1
+    from refined_spark.caching import release_caches
+
+    release_caches()
