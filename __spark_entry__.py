@@ -2809,11 +2809,13 @@ def oracle_sql() -> dict[str, str]:
                      sum(hit) as b_correct
               from j group by threshold
             ), c as (
+              -- cast: DuckDB window sum yields HUGEINT -> float64 in
+              -- pandas; Spark emits int64 (the table_accuracy convention)
               select threshold,
-                     sum(b_pred) over (order by threshold desc
-                       rows unbounded preceding) as n_pred,
-                     sum(b_correct) over (order by threshold desc
-                       rows unbounded preceding) as n_correct
+                     cast(sum(b_pred) over (order by threshold desc
+                       rows unbounded preceding) as bigint) as n_pred,
+                     cast(sum(b_correct) over (order by threshold desc
+                       rows unbounded preceding) as bigint) as n_correct
               from b
             )
             select threshold, n_pred, n_correct,

@@ -39,6 +39,9 @@ EMB_DIM = 16
 MINHASH_PERMS = 32
 MINHASH_BANDS = 8          # 8 bands x 4 rows
 SHINGLE_K = 3              # character shingle length for near-dup text keys
+LSH_MAX_BUCKET = 1000      # doc-dedup band-bucket cap (mirrors blocking's
+                           # max_block=1000); over-cap buckets are dropped
+                           # with an eager logged count, never silently
 
 # Pairwise score threshold for emitting mention-mention edges into the
 # clustering graph (on top of mention->accepted-entity edges).

@@ -25,6 +25,7 @@ Determinism: all hash seeds fixed; md5/xxhash are stable across runs.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -32,6 +33,8 @@ from pyspark.sql import functions as F
 
 from .. import config
 from ..caching import track
+
+_LOG = logging.getLogger(__name__)
 
 # fixed 64-bit hash-mixing parameters (splitmix64-style, public constants)
 _MASK64 = (1 << 64) - 1
@@ -246,9 +249,29 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(signatures: DataFrame,
-                        bands: int = config.MINHASH_BANDS) -> DataFrame:
+                        bands: int = config.MINHASH_BANDS,
+                        max_bucket: int | None = config.LSH_MAX_BUCKET,
+                        ) -> DataFrame:
     """Band the signature, bucket-join within bands → (id_a, id_b) distinct
-    candidate pairs (id_a < id_b)."""
+    candidate pairs (id_a < id_b).
+
+    Bucket blowup guards (both load-bearing on a real crawl corpus):
+
+    - **Zero signatures are excluded from banding.** Empty/whitespace-only
+      docs all carry the all-zero signature (``minhash_signatures``'s
+      coalesce convention), hence the SAME bucket in every band — on a
+      web crawl (millions of boilerplate-stripped/robots pages) that is
+      one O(n²) mega-bucket in a single reducer. An empty doc has no
+      content to near-dup match; :func:`exact_dedup_groups` already
+      collapses byte-identical empties.
+    - **Buckets larger than ``max_bucket`` are dropped** via a count
+      pre-pass (the ``lsh_mention_pairs`` pattern, blocking.py) — a
+      bucket that big signals a degenerate key, exactly what banding is
+      meant to prevent; its members overwhelmingly re-pair in their other
+      ``bands-1`` buckets. Never silent: the number of dropped buckets is
+      counted eagerly and logged at WARNING. ``max_bucket=None`` disables
+      the cap (exactness-test escape hatch).
+    """
     # persist the SIGNATURE frame: sig is a plain (inlinable) Column
     # expression since the JVM rewrite, so without a materialization
     # barrier Catalyst would re-evaluate the full per-shingle hash chain
@@ -256,7 +279,8 @@ def lsh_candidate_pairs(signatures: DataFrame,
     # signature-sized even at 10^9 docs (a cluster job would checkpoint
     # this as a stage table). The derived band expr below is 8 cheap
     # fixed-width hashes per cached row per consumer.
-    signatures = track(signatures)
+    signatures = track(
+        signatures.where(F.exists("sig", lambda x: x != F.lit(0))))
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(
@@ -281,6 +305,23 @@ def lsh_candidate_pairs(signatures: DataFrame,
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"),
              F.col("bk.bucket").alias("bucket"))
+    if max_bucket is not None:
+        # count pre-pass over the (band, bucket) census — bucket-scale
+        # rows, computed from the cached signatures. The eager count is
+        # the "no silent caps" contract; on a cluster this is one cheap
+        # job over a stage table.
+        big = track(
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "bucket"))
+        n_dropped = big.count()
+        if n_dropped:
+            _LOG.warning(
+                "lsh_candidate_pairs: dropped %d bucket(s) larger than "
+                "max_bucket=%d before the pair join", n_dropped, max_bucket)
+        banded = banded.join(F.broadcast(big), ["band", "bucket"],
+                             "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

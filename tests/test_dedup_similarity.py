@@ -297,3 +297,55 @@ def test_survivors_end_to_end_lsh(spark, docs):
     assert not out[100]["is_survivor"] and not out[101]["is_survivor"]
     assert out[102]["is_survivor"] and not out[1]["is_survivor"]
     assert out[1]["cluster_id"] == out[102]["cluster_id"] == 1
+
+
+def test_lsh_empty_doc_flood_stays_bounded(spark, docs):
+    """10k empty/whitespace docs (the boilerplate-stripped-crawl shape)
+    all share the zero MinHash signature — before the banding exclusion
+    they formed ONE mega-bucket per band (~50M pairs in one reducer).
+    The pair set must stay exactly the non-empty corpus's pair set, and
+    survivor selection over the real-doc chain must be unchanged."""
+    from refined_spark.operators.dedup import near_dup_survivors
+
+    empties = spark.range(10_000, 20_000).select(
+        F.col("id").alias("doc_id"),
+        # alternate '' / whitespace: both normalize to the zero signature
+        F.when(F.col("id") % 2 == 0, F.lit("")).otherwise(F.lit("  \t "))
+        .alias("text"))
+    flooded = docs.unionByName(empties)
+
+    base = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(minhash_signatures(docs)).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs(minhash_signatures(flooded)).collect()}
+    assert got == base          # bounded: no empty-doc pair ever emitted
+    assert all(a < 10_000 and b < 10_000 for a, b in got)
+
+    # survivors over the flooded corpus == survivors over the clean one
+    for corpus in (docs, flooded):
+        c = corpus.withColumn("n_chars", F.length("text"))
+        pairs = jaccard_verify(
+            lsh_candidate_pairs(minhash_signatures(c)), c, threshold=0.5)
+        out = {r["doc_id"]: r["is_survivor"] for r in near_dup_survivors(
+            c, pairs.select("id_a", "id_b")).collect()
+            if r["doc_id"] < 10_000}
+        assert out[0] and not out[100] and not out[101]
+        assert out[102] and not out[1]
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, caplog):
+    """A bucket larger than max_bucket is dropped (count pre-pass, the
+    lsh_mention_pairs pattern) and the drop is LOGGED, never silent."""
+    import logging
+
+    clones = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same exact duplicated body of words here").alias("text"))
+    sigs = minhash_signatures(clones)
+    with caplog.at_level(logging.WARNING,
+                         logger="refined_spark.operators.dedup"):
+        capped = lsh_candidate_pairs(sigs, max_bucket=10).count()
+    assert capped == 0
+    assert any("dropped" in r.message for r in caplog.records)
+    # escape hatch: cap disabled -> the full 30*29/2 clone pair set
+    assert lsh_candidate_pairs(sigs, max_bucket=None).count() == 435
