@@ -1829,6 +1829,13 @@ def _snapshot_latest_oracle_sql() -> str:
     """
 
 
+def _sqlq(v: str) -> str:
+    """ANSI single-quote escaping for values interpolated into the
+    generated oracle SQL (stratum literals etc.) — doubled quotes, so a
+    quote-bearing value cannot break or inject into the replay."""
+    return v.replace("'", "''")
+
+
 def _sample_strata_oracle_sql() -> str:
     """DuckDB replay of the stratified hash sample: per-stratum
     ``sample_sql`` predicates built from the SAME rate map and the SAME
@@ -1838,7 +1845,7 @@ def _sample_strata_oracle_sql() -> str:
     from refined_spark.operators.sampling import sample_sql
 
     clauses = " or ".join(
-        f"(lang = '{s}' and {sample_sql('doc_id', r)})"
+        f"(lang = '{_sqlq(s)}' and {sample_sql('doc_id', r)})"
         for s, r in sorted(_SAMPLE_RATES.items()))
     return f"""
         select doc_id, lang from documents
@@ -1859,7 +1866,7 @@ def _curate_corpus_oracle_sql() -> str:
 
     cfg = _CURATE
     sample = " or ".join(
-        f"(lang = '{s}' and {sample_sql('url', r)})"
+        f"(lang = '{_sqlq(s)}' and {sample_sql('url', r)})"
         for s, r in sorted(cfg["rates"].items()))
     return f"""
         with c as (

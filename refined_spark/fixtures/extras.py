@@ -317,9 +317,11 @@ def gen_crawl_snapshots(out_dir: str, n_sites: int) -> None:
     """Multi-crawl corpus for operators/crawl.py: each site appears as
     1-4 snapshots whose urls are ALIASES of one canonical form (scheme/
     host case, www., default port, fragment, trailing slash — one
-    decoration per snapshot, so every rule is exercised), with strictly
-    increasing warc_ts per site so the latest pick is unique. Query
-    strings are part of page identity and therefore FIXED per site.
+    decoration per snapshot, so every rule is exercised), with
+    per-site-UNIQUE warc_ts (the bump loop below) so the latest pick is
+    total — snapshot days are drawn independently, so timestamps are
+    not monotone in the snapshot index. Query strings are part of page
+    identity and therefore FIXED per site.
     Columns: (url, warc_ts, text, lang)."""
     import datetime
     import os

@@ -154,8 +154,23 @@ def et_feature_cols(conf_col: str = "et_conf", sq_col: str = "et_sq",
     """(class_delta, class_dist) Column pair from an attached confidence
     row + the candidate's class-index array — the ED-layer class features
     in their sparse form. NULL class list or missing confidence row
-    (null-context mention) → (0.0, 0.0), the neutral contribution."""
-    conf_at = lambda c: F.element_at(conf_col, c.cast("int") + 1)  # noqa: E731
+    (null-context mention) → (0.0, 0.0), the neutral contribution.
+
+    A ``class_idx`` outside the confidence vector (entity table
+    referencing a class absent from the class-edge vocab) RAISES instead
+    of silently propagating NULL features — the NumPy replay would
+    IndexError loudly on the same input, and the two engines must fail
+    the same way (a vocab/entity mismatch is a build defect, not data).
+    """
+    # try_element_at: NULL on out-of-bounds in BOTH ansi modes, so the
+    # raise_error fallback fires identically everywhere (plain
+    # element_at raises its own opaque error under ansi and silently
+    # NULLs without it)
+    conf_at = lambda c: F.coalesce(  # noqa: E731
+        F.try_element_at(conf_col, c.cast("int") + 1),
+        F.raise_error(F.concat(
+            F.lit("et_feature_cols: class_idx out of range for the "
+                  "class vocab: "), c.cast("string"))))
     delta = F.aggregate(
         classes_col, F.lit(0.0).cast("double"),
         lambda acc, c: acc + conf_at(c))
@@ -177,9 +192,11 @@ def et_top_classes(spans: DataFrame, class_names: list[str],
     (conf desc, class_idx asc) — sigmoid is monotone, so the rank order
     is the dot-product order and engine-independent.
 
-    Returns (url, start, et_rank, class_name); the raw confidence is
-    deliberately excluded from the comparable surface (same convention
-    as topk_links — ranks are compared, floats are pytest-gated)."""
+    Returns (url, start, et_rank, class_name, conf) — ``conf`` is the
+    raw sigmoid confidence (api.predicted_types relies on it); oracle
+    gates must PROJECT IT AWAY from the compared surface (the
+    q_et_types convention — ranks are compared, floats are
+    pytest-gated, same as topk_links)."""
     et = et_confidence_table(
         spans.select("ctx_word"), class_names)
     name_arr = F.array(*[F.lit(n) for n in class_names])

@@ -101,6 +101,11 @@ def drop_low_quality_hosts(docs: DataFrame, tau: float,
     bad = low_quality_hosts(docs, tau, min_docs, url_col, text_col)
     if broadcast_hosts:
         bad = F.broadcast(bad)
-    probe = docs.withColumn("_host", host_of(F.col(url_col)))
-    kept = probe.join(bad, probe["_host"] == bad["host"], "left_anti")
-    return kept.drop("_host")
+    # helper-column name must not clobber a caller column (the
+    # schema-preserved contract): pick the first unused underscore name
+    helper = "_host"
+    while helper in docs.columns:
+        helper += "_"
+    probe = docs.withColumn(helper, host_of(F.col(url_col)))
+    kept = probe.join(bad, probe[helper] == bad["host"], "left_anti")
+    return kept.drop(helper)

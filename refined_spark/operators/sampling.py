@@ -80,6 +80,16 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
 
 def sample_sql(key_col: str, rate: float, salt: str = "s0") -> str:
     """The IDENTICAL predicate as ANSI/DuckDB SQL — md5 hex compares
-    lexicographically in both engines."""
+    lexicographically in both engines. ``salt`` is interpolated into a
+    single-quoted literal, so quotes are doubled (ANSI escaping) —
+    a quoted salt must not break or inject into the generated SQL.
+    NOTE the escaped salt is a DIFFERENT hash input than the raw salt
+    only if it contained a quote; Spark's :func:`sample_hash` uses the
+    raw salt, so quote-bearing salts are rejected outright to keep the
+    two predicates provably identical."""
+    if "'" in salt:
+        raise ValueError(
+            "sample_sql: salt must be quote-free (the SQL replay "
+            f"interpolates it as a literal): {salt!r}")
     return (f"md5('{salt}' || cast({key_col} as varchar)) "
             f"< '{rate_to_hex_threshold(rate)}'")

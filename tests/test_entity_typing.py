@@ -185,3 +185,24 @@ def test_bad_typing_mode_raises(spark, fx_t1):
 
     with pytest.raises(ValueError, match="typing_mode"):
         run_pipeline(spark, fx_t1, typing_mode="bogus")
+
+
+def test_et_feature_cols_out_of_range_class_raises(spark):
+    """A class_idx past the confidence vector (entity table referencing
+    a class absent from the class-edge vocab) must RAISE — not silently
+    propagate NULL features — in both ansi modes (try_element_at +
+    raise_error guard)."""
+    from refined_spark.operators.entity_typing import et_feature_cols
+
+    d, s = et_feature_cols()
+    bad = spark.createDataFrame(
+        [([0.5, 0.25], 0.3, [5])],
+        "et_conf: array<double>, et_sq: double, class_idx: array<int>")
+    with pytest.raises(Exception, match="out of (range|bounds)"):
+        bad.select(d.alias("d"), s.alias("s")).collect()
+    # neutral contracts unchanged: missing conf row / null class list
+    ok = spark.createDataFrame(
+        [(None, None, [0, 1]), ([0.5, 0.25], 0.3, None)],
+        "et_conf: array<double>, et_sq: double, class_idx: array<int>")
+    rows = ok.select(d.alias("d"), s.alias("s")).collect()
+    assert all(r["d"] == 0.0 and r["s"] == 0.0 for r in rows)

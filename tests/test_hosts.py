@@ -79,3 +79,17 @@ def test_non_broadcast_parity(spark, fx_t1):
                drop_low_quality_hosts(snaps, TAU, MIN_DOCS,
                                       broadcast_hosts=False).collect())
     assert a == b and a
+
+
+def test_drop_preserves_caller_host_column(spark, fx_t1):
+    """A caller column literally named '_host' must survive untouched —
+    the helper column picks an unused name (schema-preserved contract)."""
+    import os
+
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet")).withColumn(
+        "_host", F.lit("caller-owned"))
+    out = drop_low_quality_hosts(snaps, TAU, MIN_DOCS)
+    assert "_host" in out.columns
+    assert {r["_host"] for r in out.select("_host").collect()} \
+        == {"caller-owned"}

@@ -73,3 +73,15 @@ def test_map_only_plan(spark, sf001):
     plan = (deterministic_sample(docs, 0.5, "doc_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_sample_sql_rejects_quoted_salt():
+    """sample_sql interpolates salt into a quoted literal; a salt
+    containing a quote would make the SQL replay hash a DIFFERENT
+    string than Spark's raw-salt predicate, so it is rejected."""
+    import pytest
+
+    from refined_spark.operators.sampling import sample_sql
+
+    with pytest.raises(ValueError, match="quote-free"):
+        sample_sql("doc_id", 0.5, salt="o'brien")
