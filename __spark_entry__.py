@@ -378,8 +378,9 @@ def q_table_coltype(spark, sf):
 
 def q_job_results_page(spark, sf):
     """S9 — Koala-shaped result sink + deterministic pagination: write the
-    nested per-cell result rows, read back page 1 (rows 51..100),
-    flattened for value comparison."""
+    nested per-cell result rows (each candidate carrying its
+    human-readable wiki_title, job_service.py:184-188), read back page 1
+    (rows 51..100), flattened for value comparison."""
     import tempfile
 
     from refined_spark.operators.sink import (
@@ -390,7 +391,8 @@ def q_job_results_page(spark, sf):
     from refined_spark.operators.tables import table_topk
 
     scored, linked = _table_parts(spark, sf)
-    rows = koala_result_rows(table_topk(scored, linked, k=3))
+    rows = koala_result_rows(table_topk(scored, linked, k=3),
+                             entity=_fx(spark, sf, "entity"))
     path = os.path.join(tempfile.gettempdir(), "refined_spark_results",
                         os.path.basename(ensure_fixtures(sf)))
     write_job_results(rows, path)
@@ -403,6 +405,7 @@ def q_job_results_page(spark, sf):
         "table_id", "idRow", "row", "idColumn",
         F.col("c.cand_rank").alias("cand_rank"),
         F.col("c.qcode").alias("qcode"),
+        F.col("c.wiki_title").alias("wiki_title"),
         F.col("c.match").alias("match"),
     ).orderBy("table_id", "row", "cand_rank")
 
@@ -497,8 +500,14 @@ def q_candidates_backward(spark, sf):
 
 
 def q_links(spark, sf):
-    return _pipeline(spark, sf)["links"].select(
-        "url", "start", "pred_qcode").orderBy("url", "start")
+    """F3/F5/F6/F10 e2e links + the qcode→wiki_title display join
+    (reference data_lookups.py:71-74) on the compared surface — NOTA/
+    NIL rows keep NULL titles."""
+    from refined_spark.operators.scoring import with_wiki_titles
+
+    res = _pipeline(spark, sf)
+    return with_wiki_titles(res["links"], res["tables"]["entity"]).select(
+        "url", "start", "pred_qcode", "wiki_title").orderBy("url", "start")
 
 
 def q_clusters(spark, sf):
@@ -2314,9 +2323,11 @@ def oracle_sql() -> dict[str, str]:
             order by query_id, nn_rank
         """,
         "links": f"""
-            select url, start, pred_qcode
-            from read_parquet('{_fxp("expected_links")}')
-            order by url, start
+            select l.url, l.start, l.pred_qcode, e.wiki_title
+            from read_parquet('{_fxp("expected_links")}') l
+            left join read_parquet('{_fxp("entity")}') e
+              on l.pred_qcode = e.qcode
+            order by l.url, l.start
         """,
         "stream_links": f"""
             select url, start, pred_qcode
@@ -2911,9 +2922,12 @@ def oracle_sql() -> dict[str, str]:
               from (select distinct table_id, "row" from tk)
             )
             select tk.table_id, 'row_' || tk."row" as idRow, tk."row",
-                   1 as idColumn, tk.cand_rank, tk.qcode, tk.match
+                   1 as idColumn, tk.cand_rank, tk.qcode,
+                   e.wiki_title, tk.match
             from tk join cells_r c
               on tk.table_id = c.table_id and tk."row" = c."row"
+            left join read_parquet('{_fxp("entity")}') e
+              on tk.qcode = e.qcode
             where c.rn > 50 and c.rn <= 100
             order by tk.table_id, tk."row", tk.cand_rank
         """,

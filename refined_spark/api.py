@@ -15,8 +15,8 @@ surface with the unit of work raised from a text to a CORPUS:
 entity_emb, topic_class, ed_weights, class_edges — the analog of the
 reference's downloaded data_dir). The output is one row per span:
 
-    (url, start, length, mention_text, pred_qcode, confidence,
-     top_k ARRAY<STRUCT<qcode, score>>)
+    (url, start, length, mention_text, pred_qcode, wiki_title,
+     confidence, top_k ARRAY<STRUCT<qcode, score>>)
 
 with ``pred_qcode`` NULL for NOTA/below-threshold (the reference's
 unlinked span) and ``top_k`` mirroring ``top_k_predicted_entities``
@@ -83,10 +83,13 @@ class RefinedSpark:
         _release_tracked()
 
     def _spans_output(self, res: dict) -> DataFrame:
-        from .operators.scoring import topk_from_logits
+        from .operators.scoring import topk_from_logits, with_wiki_titles
 
-        links = res["links"].select("mention_key", "pred_qcode",
-                                    "confidence")
+        # display join (data_lookups.py:71-74): the linked entity's
+        # human-readable title rides along; NOTA/NIL keep NULL
+        links = with_wiki_titles(
+            res["links"].select("mention_key", "pred_qcode", "confidence"),
+            res["tables"]["entity"])
         m = res["mentions"].select("url", "start", "length",
                                    "mention_text", "mention_key")
         tk = (topk_from_logits(res["with_logits"], k=self.topk)
@@ -101,7 +104,7 @@ class RefinedSpark:
         return (m.join(links, "mention_key", "left")
                 .join(tk, "mention_key", "left")
                 .select("url", "start", "length", "mention_text",
-                        "pred_qcode", "confidence", "top_k"))
+                        "pred_qcode", "wiki_title", "confidence", "top_k"))
 
     def predicted_types(self, documents: DataFrame,
                         spans_df: DataFrame, k: int = 3) -> DataFrame:

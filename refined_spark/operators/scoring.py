@@ -475,6 +475,18 @@ def links_from_logits(with_logits: DataFrame,
     )
 
 
+def with_wiki_titles(spans: DataFrame, entity: DataFrame,
+                     qcode_col: str = "pred_qcode") -> DataFrame:
+    """Attach the human-readable ``wiki_title`` for each predicted qcode
+    — the reference's optional display lookup (data_lookups.py:71-74)
+    and the Koala candidate names (api/app/services/job_service.py:
+    181-192). One broadcast left join against the entity dimension
+    (entity is model-resource-scale, never corpus-scale); NOTA/'Q-1'
+    and NIL predictions keep a NULL title."""
+    titles = entity.select(F.col("qcode").alias(qcode_col), "wiki_title")
+    return spans.join(F.broadcast(titles), qcode_col, "left")
+
+
 def topk_from_logits(with_logits: DataFrame, k: int = 5) -> DataFrame:
     """F7 tail — per-mention sorted top-k predictions incl. the NOTA
     sentinel, mirroring the reference's ``top_k_predicted_entities``

@@ -22,15 +22,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def koala_result_rows(topk: DataFrame, target_col_idx: int = 1
-                      ) -> DataFrame:
+def koala_result_rows(topk: DataFrame, target_col_idx: int = 1,
+                      entity: DataFrame | None = None) -> DataFrame:
     """A8 top-k per cell -> Koala-shaped nested result rows
     (job_service.py:181-193): one row per (table_id, row) with the
-    candidate list nested, ready for the results sink."""
+    candidate list nested, ready for the results sink. With ``entity``,
+    each candidate also carries its human-readable ``wiki_title`` (the
+    reference row's "name" field, job_service.py:184-188) via one
+    broadcast left join — qcodes absent from the dimension keep NULL."""
+    if entity is not None:
+        from .scoring import with_wiki_titles
+
+        topk = with_wiki_titles(topk, entity, qcode_col="qcode")
+    cand_fields = (["cand_rank", "qcode", "wiki_title", "match"]
+                   if entity is not None else
+                   ["cand_rank", "qcode", "match"])
     return (
         topk.groupBy("table_id", "row")
         .agg(F.sort_array(F.collect_list(F.struct(
-            "cand_rank", "qcode", "match"))).alias("cands"))
+            *cand_fields))).alias("cands"))
         .select(
             "table_id",
             F.concat(F.lit("row_"), F.col("row")).alias("idRow"),
