@@ -427,6 +427,65 @@ def q_job_metrics(spark, sf):
         "stage", "rows", "status").orderBy("stage")
 
 
+def _aida_tables(spark, sf):
+    from refined_spark.sources.datasets import aida_spans, read_aida_jsonl
+
+    fx = ensure_fixtures(sf)
+    aida = read_aida_jsonl(spark, os.path.join(fx, "aida_docs.jsonl"))
+    md, gold = aida_spans(aida, _fx(spark, sf, "redirects"),
+                          _fx(spark, sf, "title_qcode"),
+                          _fx(spark, sf, "deny_qcodes"))
+    return aida, md, gold
+
+
+def q_aida_read(spark, sf):
+    """AIDA-shape jsonl dataset reader (reference dataset_factory.py:
+    22-115): doc keying, span slicing, first-wikipedia-uri pick, the
+    WikidataMapper title normalization (entity unescape / case bump /
+    redirect hop / title→qcode), and the not-in-KB + disambiguation
+    gold filter — all vs an independent DuckDB read_json replay."""
+    _aida, _md, gold = _aida_tables(spark, sf)
+    return gold.orderBy("url", "start")
+
+
+def q_standard_read(spark, sf):
+    """Standard-shape jsonl reader (dataset_factory.py:117-185 — the
+    MSNBC/ACE2004/AQUAINT/... format): NULL/"NIL" wiki_name stays
+    mention-only, space→underscore naming, and the content-addressed
+    doc:<md5(text)> keying (this fixture file carries NO id field)."""
+    from refined_spark.sources.datasets import (
+        read_standard_jsonl,
+        standard_spans,
+    )
+
+    fx = ensure_fixtures(sf)
+    docs = read_standard_jsonl(
+        spark, os.path.join(fx, "standard_docs.jsonl"))
+    _md, gold = standard_spans(docs, _fx(spark, sf, "redirects"),
+                               _fx(spark, sf, "title_qcode"),
+                               _fx(spark, sf, "deny_qcodes"))
+    return gold.orderBy("url", "start")
+
+
+def q_aida_metrics(spark, sf):
+    """The reference's eval loop over a PUBLIC-format dataset: AIDA
+    jsonl → (documents, md spans, gold) → full EL pipeline in
+    provided-spans mode over the PRE-EXTRACTED dataset text
+    (Doc.from_text, no HTML stage) → el_metrics. The oracle replays
+    gold from the same jsonl and takes pred/candidates from the
+    expected_links/expected_candidates goldens — the fixture file
+    encodes the fixture corpus's own spans, so the dataset-fed pipeline
+    must reproduce them exactly."""
+    from refined_spark.operators.metrics import el_metrics
+    from refined_spark.sources.datasets import aida_documents
+
+    aida, md, gold = _aida_tables(spark, sf)
+    res = run_pipeline(spark, ensure_fixtures(sf), mode="spans",
+                       documents=aida_documents(aida), gold_spans=md,
+                       pre_extracted=True)
+    return el_metrics(gold, res["links"], res["candidates"])
+
+
 def q_entity_index(spark, sf):
     from refined_spark.operators.pem_build import build_entity_index
 
@@ -1329,6 +1388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds — are last, so they are the ones that fall outside the window
     (round-2 judge directive)."""
     return {
+        # --- new round 4 (never driver-verified) — run first ---
+        "aida_read": q_aida_read,
+        "standard_read": q_standard_read,
+        "aida_metrics": q_aida_metrics,
         # --- never driver-verified (round-2 tail + new) — run first ---
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -1835,6 +1898,101 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+_WIKI_PREFIX = "http://en.wikipedia.org/wiki/"
+
+
+def _aida_gold_cte() -> str:
+    """DuckDB replay of the AIDA reader's gold-span derivation
+    (sources/datasets.py:read_aida_jsonl + aida_spans): independent
+    json parse, codepoint substr slicing, first-wikipedia-uri pick,
+    mapper normalization, redirect hop, title→qcode, deny filter.
+    Exposes `raw` (doc keys) and `aida_gold`."""
+    path = os.path.join(FX_T2, "aida_docs.jsonl")
+    p = _WIKI_PREFIX
+    return f"""
+        raw as (
+          select coalesce(id, 'doc:' || md5(text)) as url, text, spans
+          from read_json('{path}', columns={{
+            'id': 'VARCHAR', 'text': 'VARCHAR',
+            'spans': 'STRUCT(start INTEGER, length INTEGER,
+                      uris VARCHAR[])[]'}})
+        ), sp as (
+          select url, text, unnest(spans) as s from raw
+        ), titled as (
+          select url, s.start as start, s.length as length,
+                 substr(text, s.start + 1, s.length) as mention_text,
+                 list_transform(
+                   list_filter(s.uris, u -> contains(u, '{p}')),
+                   u -> replace(u, '{p}', ''))[1] as t0
+          from sp
+          where len(list_filter(s.uris, u -> contains(u, '{p}'))) > 0
+        ), {_mapper_tail_sql()}
+    """
+
+
+def _std_gold_cte() -> str:
+    """DuckDB replay of the standard-format reader (reader has NO id
+    field in this fixture — the content-addressed doc:<md5> keying is
+    part of what is compared). Exposes `raw` and `aida_gold`."""
+    path = os.path.join(FX_T2, "standard_docs.jsonl")
+    return f"""
+        raw as (
+          select coalesce(id, 'doc:' || md5(text)) as url, text, mentions
+          from read_json('{path}', columns={{
+            'id': 'VARCHAR', 'text': 'VARCHAR',
+            'mentions': 'STRUCT(start INTEGER, length INTEGER,
+                         wiki_name VARCHAR)[]'}})
+        ), sp as (
+          select url, text, unnest(mentions) as s from raw
+        ), titled as (
+          select url, s.start as start, s.length as length,
+                 substr(text, s.start + 1, s.length) as mention_text,
+                 replace(s.wiki_name, ' ', '_') as t0
+          from sp
+          where s.wiki_name is not null and s.wiki_name <> 'NIL'
+        ), {_mapper_tail_sql()}
+    """
+
+
+def _mapper_tail_sql() -> str:
+    """The shared mapper-tail CTEs (norm → followed → aida_gold), built
+    once so the AIDA and standard replays cannot drift."""
+    return f"""
+        norm as (
+          select url, start, length, mention_text,
+                 case when length(t1) = 0 then null
+                      else upper(substr(t1, 1, 1)) || substr(t1, 2)
+                 end as wt
+          from (select *,
+                       replace(replace(replace(replace(t0,
+                         '&lt;', '<'), '&gt;', '>'),
+                         '&le;', '≤'), '&ge;', '≥') as t1
+                from titled)
+        ), red1 as (
+          -- the mapper is a DICT: one target per key (min() winner,
+          -- the reader's functional-dimension rule)
+          select src_title, min(dst_title) as dst_title
+          from read_parquet('{_fxp("redirects")}') group by 1
+        ), tq1 as (
+          select wiki_title, min(qcode) as qcode
+          from read_parquet('{_fxp("title_qcode")}') group by 1
+        ), followed as (
+          select n.url, n.start, n.length, n.mention_text,
+                 coalesce(r.dst_title, n.wt) as wiki_title
+          from norm n
+          left join red1 r on n.wt = r.src_title
+        ), aida_gold as (
+          select f.url, f.start, f.length, f.mention_text,
+                 f.wiki_title, tq.qcode as gold_qcode
+          from followed f
+          join tq1 tq on f.wiki_title = tq.wiki_title
+          where not exists (
+            select 1 from read_parquet('{_fxp("deny_qcodes")}') d
+            where d.qcode = tq.qcode)
+        )
     """
 
 
@@ -2379,6 +2537,63 @@ def oracle_sql() -> dict[str, str]:
             left join read_parquet('{_fxp("topic_class")}') t
               on t.topic = s.ctx_word
             order by l.url, l.start
+        """,
+        "aida_read": f"""
+            with {_aida_gold_cte()}
+            select url, start, length, mention_text, wiki_title,
+                   gold_qcode
+            from aida_gold order by url, start
+        """,
+        "standard_read": f"""
+            with {_std_gold_cte()}
+            select url, start, length, mention_text, wiki_title,
+                   gold_qcode
+            from aida_gold order by url, start
+        """,
+        "aida_metrics": f"""
+            with {_aida_gold_cte()}, gold as (
+              select url, start, gold_qcode from aida_gold
+            ), pred as (
+              select l.url, l.start, l.pred_qcode
+              from read_parquet('{_fxp("expected_links")}') l
+              join (select distinct url from raw) d on l.url = d.url
+              where l.pred_qcode is not null
+            ), in_cand as (
+              select count(*) as gold_entity_in_cand from gold g
+              where exists (
+                select 1 from read_parquet('{_fxp("expected_candidates")}') c
+                where c.url = g.url and c.start = g.start
+                  and c.qcode = g.gold_qcode)
+            ), flags as (
+              select (g.gold_qcode = p.pred_qcode) as hit,
+                     g.gold_qcode is not null as has_gold,
+                     p.pred_qcode is not null as has_pred
+              from gold g full outer join pred p
+                on g.url = p.url and g.start = p.start
+            ), agg as (
+              select cast(sum(case when has_gold then 1 else 0 end)
+                          as bigint) as num_gold_spans,
+                     cast(sum(case when coalesce(hit, false) then 1 else 0
+                          end) as bigint) as tp,
+                     cast(sum(case when has_pred
+                          and not coalesce(hit, false) then 1 else 0 end)
+                          as bigint) as fp,
+                     cast(sum(case when has_gold
+                          and not coalesce(hit, false) then 1 else 0 end)
+                          as bigint) as fn
+              from flags
+            )
+            select num_gold_spans, tp, fp, fn, gold_entity_in_cand,
+                   round(tp / (tp + fp + 1e-8), 6) as precision,
+                   round(tp / (tp + fn + 1e-8), 6) as recall,
+                   round(2.0 * (tp / (tp + fp + 1e-8))
+                         * (tp / (tp + fn + 1e-8))
+                         / ((tp / (tp + fp + 1e-8))
+                            + (tp / (tp + fn + 1e-8)) + 1e-8), 6) as f1,
+                   round(tp / (num_gold_spans + 1e-8), 6) as accuracy,
+                   round(gold_entity_in_cand / (num_gold_spans + 1e-8), 6)
+                     as gold_recall
+            from agg cross join in_cand
         """,
         "el_metrics": f"""
             with gold as (

@@ -855,6 +855,128 @@ def gen_bio_tags(out_dir: str, world: dict, n_urls: int) -> None:
 # entry point
 # --------------------------------------------------------------------------
 
+def gen_el_datasets(out_dir: str) -> None:
+    """Public-format EL evaluation files over the fixture corpus
+    (sources/datasets.py): ``aida_docs.jsonl`` (reference
+    dataset_factory.py:22-115 shape — text + spans with wikipedia uris)
+    and ``standard_docs.jsonl`` (:117-185 — mentions with wiki_name).
+
+    Built FROM the committed fixture tables so the dataset-fed pipeline
+    is replayable against the existing expected_links golden: AIDA takes
+    every 5th document (by sorted url) and encodes ALL of its gold_spans
+    rows — same (url, start, length) keys, so running the pipeline on
+    the read-back corpus must reproduce expected_links exactly for
+    those urls. The uris exercise every mapper branch: plain titles,
+    one-hop redirects, lowercase-first (case bump), non-wiki uris
+    (ignored; leading ones exercise first-WIKI-uri pick), second wiki
+    uri (first wins), NULL-gold spans as mention-only (empty/non-wiki
+    uri lists), deny-listed (disambiguation-class) targets, unmapped
+    titles, and one &le;-escaped title (the mapper's exact unescape
+    list). The standard file covers a DIFFERENT doc subset, omits the
+    ``id`` field (exercising the content-addressed doc:<md5> keying),
+    and uses spaces-for-underscores names plus NULL/"NIL" rows."""
+    import json as jsonlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.Generator(np.random.PCG64(20260819))
+    docs = pq.read_table(os.path.join(out_dir, "documents.parquet"),
+                         columns=["url", "text"]).to_pylist()
+    spans = pq.read_table(os.path.join(out_dir, "gold_spans.parquet"),
+                          columns=["url", "start", "length",
+                                   "gold_qcode"]).to_pylist()
+    ents = pq.read_table(os.path.join(out_dir, "entity.parquet"),
+                         columns=["qcode", "wiki_title"]).to_pylist()
+    reds = pq.read_table(os.path.join(out_dir, "redirects.parquet")
+                         ).to_pylist()
+    deny = [r["qcode"] for r in pq.read_table(
+        os.path.join(out_dir, "deny_qcodes.parquet")).to_pylist()]
+
+    text_of = {d["url"]: d["text"] for d in docs}
+    title_of = {e["qcode"]: e["wiki_title"] for e in ents}
+    redirect_src = {r["dst_title"]: r["src_title"] for r in reds}
+    all_titles = sorted(title_of.values())
+    deny_titles = sorted(title_of[q] for q in deny if q in title_of)
+    by_url: dict[str, list] = {}
+    for s in spans:
+        by_url.setdefault(s["url"], []).append(s)
+
+    prefix = "http://en.wikipedia.org/wiki/"
+    urls = sorted(by_url)
+
+    def aida_uris(s, force_escape: bool) -> list[str]:
+        q = s["gold_qcode"]
+        r = rng.random()
+        if force_escape:
+            # the &le; branch of the mapper's unescape list — maps to
+            # the extra_titles qcode OUTSIDE the entity universe (a
+            # guaranteed-never-predicted gold: pure fn, both engines)
+            return [prefix + "X&le;Y_paradox"]
+        if q is None:
+            if r < 0.25:
+                return []
+            if r < 0.5:
+                return ["http://other.example.org/page"]
+            if r < 0.75 and deny_titles:
+                return [prefix + deny_titles[int(rng.integers(
+                    len(deny_titles)))]]
+            return [prefix + "Unmapped_Title_777"]
+        t = title_of[q]
+        if r < 0.2 and t in redirect_src:
+            return [prefix + redirect_src[t]]
+        if r < 0.35:
+            return [prefix + t[0].lower() + t[1:]]
+        if r < 0.45:
+            return ["http://other.example.org/page", prefix + t]
+        if r < 0.5:
+            other = all_titles[int(rng.integers(len(all_titles)))]
+            return [prefix + t, prefix + other]
+        return [prefix + t]
+
+    aida_lines = []
+    first_gold_done = False
+    for url in urls[0::5]:
+        text = text_of[url]
+        out_spans = []
+        for s in sorted(by_url[url], key=lambda x: x["start"]):
+            force = (not first_gold_done
+                     and s["gold_qcode"] is not None)
+            if force:
+                first_gold_done = True
+            out_spans.append(dict(start=s["start"], length=s["length"],
+                                  uris=aida_uris(s, force)))
+        aida_lines.append(dict(id=url, text=text, spans=out_spans))
+    with open(os.path.join(out_dir, "aida_docs.jsonl"), "w") as f:
+        for line in aida_lines:
+            f.write(jsonlib.dumps(line, sort_keys=True) + "\n")
+
+    def std_name(s) -> str | None:
+        q = s["gold_qcode"]
+        r = rng.random()
+        if q is None:
+            return None if r < 0.5 else "NIL"
+        t = title_of[q]
+        if r < 0.2 and t in redirect_src:
+            t = redirect_src[t]
+        elif r < 0.35:
+            t = t[0].lower() + t[1:]
+        # half the names arrive with spaces (the reader re-underscores)
+        return t.replace("_", " ") if rng.random() < 0.5 else t
+
+    std_lines = []
+    for url in urls[1::5]:
+        text = text_of[url]
+        ms = [dict(start=s["start"], length=s["length"],
+                   wiki_name=std_name(s))
+              for s in sorted(by_url[url], key=lambda x: x["start"])]
+        # NO id field: exercises the content-addressed doc:<md5> keying
+        std_lines.append(dict(text=text, mentions=ms))
+    with open(os.path.join(out_dir, "standard_docs.jsonl"), "w") as f:
+        for line in std_lines:
+            f.write(jsonlib.dumps(line, sort_keys=True) + "\n")
+
+
 def gen_wikidata_dump(out_dir: str, world: dict) -> None:
     """JSON-array dump in the real wikidata shipping shape — '[' / ']'
     bracket lines, per-entity JSON with a trailing comma — covering
@@ -988,3 +1110,6 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_coref_docs(out_dir, world, {"t1": 25}.get(tier, 100))
     gen_crawl_snapshots(out_dir, {"t1": 40}.get(tier, 160))
     gen_et_expected(out_dir, world)
+    # needs gen_wiki_pages' redirects/title_qcode/deny + the core
+    # documents/gold_spans/entity parquet already on disk
+    gen_el_datasets(out_dir)

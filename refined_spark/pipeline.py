@@ -142,6 +142,7 @@ def run_pipeline(
     emb_precision: str = "fp32",
     backward_coref: bool = False,
     typing_mode: str = "prior",
+    pre_extracted: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {'mentions','candidates','links','clusters'} DataFrames.
 
@@ -157,6 +158,11 @@ def run_pipeline(
     the ED layer consuming class_delta/class_dist (operators/
     entity_typing.py). Swapping protocols changes link decisions, so the
     flag folds into the checkpoint fingerprint (checkpoint.py).
+
+    pre_extracted=True: ``documents`` carries (url, text) directly —
+    the reference's ``Doc.from_text`` shape (dataset_factory.py feeds
+    raw dataset text with no HTML stage) — so extraction and its
+    contract guard are skipped.
     """
     t = load_tables(spark, fixture_dir)
     # the API facade (api.RefinedSpark) processes caller-supplied corpora
@@ -183,13 +189,16 @@ def run_pipeline(
     # span offset. One ~1/mod-of-a-scan action makes it fail loudly here
     # instead (pass None to opt out; tools/run_job.py runs the denser
     # mod=256 variant as a standalone guard stage).
-    if extraction_guard_mod:
+    if extraction_guard_mod and not pre_extracted:
         from .operators.extract import assert_extraction_contract
 
         assert_extraction_contract(t["documents"],
                                    mod=extraction_guard_mod)
 
-    if mode == "spans":
+    if pre_extracted and mode == "spans":
+        docs = t["documents"].select("url", "text")
+        mentions = mentions_from_spans(docs, t["gold_spans"])
+    elif mode == "spans":
         # extraction runs map-side on scan partitions; only (url, text)
         # reaches the spans join shuffle — html never leaves the scan
         docs = with_extracted_text(t["documents"]).select(
@@ -200,8 +209,9 @@ def run_pipeline(
         # chain, golden-checked vs the Python parser); only the dictionary
         # matcher crosses to Python — one Arrow hop, text in, mention
         # rows out
-        docs = t["documents"].withColumn(
-            "text", extracted_text_col("html"))
+        docs = (t["documents"].select("url", "text") if pre_extracted
+                else t["documents"].withColumn(
+                    "text", extracted_text_col("html")))
         dict_path = write_match_dictionary(
             t["pem"], t["entity"], dict_dir or _default_dict_dir(fixture_dir))
         mentions = detect_mention_rows(spark, docs, dict_path=dict_path)
