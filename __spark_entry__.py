@@ -1388,103 +1388,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds — are last, so they are the ones that fall outside the window
     (round-2 judge directive)."""
     return {
-        # --- new round 4 (never driver-verified) — run first ---
+        # ===== ROUND-4 WINDOW (first 50 — r3 verdict item 3: every entry's
+        # newest green row must be <=2 rounds old, and every entry whose
+        # module changed this round must sit inside). =====
+        # --- new round 4 (never driver-verified) ---
         "aida_read": q_aida_read,
         "standard_read": q_standard_read,
         "aida_metrics": q_aida_metrics,
-        # --- never driver-verified (round-2 tail + new) — run first ---
-        "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
-        "ingest_resume": q_ingest_resume,
-        "candidates_backward": q_candidates_backward,
-        "ann_ivf": q_ann_ivf,
-        "partitioned_scan": q_partitioned_scan,
-        "dedup_cosine": q_dedup_cosine,
-        "dedup_survivors": q_dedup_survivors,
-        "media_features": q_media_features,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_lsh": q_ann_lsh,
-        "ann_banded": q_ann_banded,
-        "ann_recall": q_ann_recall,
-        "stream_dedup": q_stream_dedup,
-        "stream_totals": q_stream_totals,
-        "stream_links": q_stream_links,
-        "cluster_pairs": q_cluster_pairs,
-        "type_prune": q_type_prune,
-        "ngram_jaccard": q_ngram_jaccard,
+        # --- red in r3 (oracle HUGEINT typing, fixed this round) ---
+        "pr_curve": q_pr_curve,
+        # --- modules changed this round stay in-window:
+        #     dedup.py (zero-sig exclusion + max_bucket cap) -> dedup_minhash,
+        #     dedup_survivors (both chain lsh_candidate_pairs);
+        #     entity_typing.py (out-of-vocab raise) -> et_types, links_et;
+        #     hosts.py (_host collision guard) -> host_quality;
+        #     sampling.py (salt SQL escaping) -> sample_strata, curate_corpus
+        #     (its oracle composes sample_sql);
+        #     scoring.py/pipeline.py/sink.py (wiki_title surface) -> links,
+        #     topk_links, job_results_page, job_metrics, stream_links (the
+        #     streaming parity contract reads the same links schema) ---
         "dedup_minhash": q_dedup_minhash,
-        "stream_window_counts": q_stream_window_counts,
-        # --- new this round ---
-        "number_detect": q_number_detect,
-        "textstats": q_textstats,
-        "snapshot_latest": q_snapshot_latest,
+        "dedup_survivors": q_dedup_survivors,
         "et_types": q_et_types,
         "links_et": q_links_et,
         "host_quality": q_host_quality,
-        "link_errors": q_link_errors,
-        "pr_curve": q_pr_curve,
         "sample_strata": q_sample_strata,
-        "lm_quality": q_lm_quality,
         "curate_corpus": q_curate_corpus,
-        # --- ER core (green r2, re-verified while in window) ---
-        "extract_text": q_extract_text,
-        "pem_build": q_pem_build,
-        "anchor_pem": q_anchor_pem,
-        "wikidata_lookups": q_wikidata_lookups,
-        "class_arrays": q_class_arrays,
-        "date_detect": q_date_detect,
-        "date_resolve": q_date_resolve,
-        "sentence_split": q_sentence_split,
-        "span_correct": q_span_correct,
-        "candidates": q_candidates,
         "links": q_links,
         "topk_links": q_topk_links,
-        "class_check": q_class_check,
-        "pairwise_f1": q_pairwise_f1,
-        "entity_index": q_entity_index,
-        "table_link": q_table_link,
+        "job_results_page": q_job_results_page,
         "job_metrics": q_job_metrics,
-        "dedup_exact": q_dedup_exact,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "lang_id": q_lang_id,
-        # twice-green, modules untouched in r3 (their code paths are covered
-        # inside the window by cluster_pairs / type_prune / the three
-        # sibling tables.py gates); block_sizes (green r1+r2, blocking.py
-        # untouched since) rotated out for dedup_survivors; el_metrics
-        # (green r2, metrics.py untouched in r3, sibling gate pairwise_f1
-        # stays inside) rotated out for snapshot_latest; link_extract
-        # (anchors.py untouched in r3, sibling gate anchor_pem stays
-        # inside) and bpe_tokens (green r2, bpe.py untouched in r3)
-        # rotated out for the two new F4 entity-typing gates
-        # et_types / links_et; table_topk + table_accuracy (tables.py
-        # untouched in r3, sibling table_link stays inside) rotated out
-        # for host_quality + link_errors; job_results_page (sink.py
-        # untouched in r3, checkpoint coverage stays via job_metrics)
-        # rotated out for pr_curve; mention_detect (mentions.py untouched
-        # in r3; the dictionary-MD path stays pytest-gated via the e2e
-        # streaming parity + checkpoint tests) rotated out for
-        # sample_strata; bio_decode (E8 — its function is untouched
-        # since its r1 green row; the r3 spans.py change was the E3
-        # SENT_RE escaping fix, evidenced by sentence_split which stays
-        # inside) rotated out for lm_quality; span_merge rotated out for
-        # curate_corpus on the same function-level rationale (E7
-        # untouched since its green rows; span_correct + sentence_split
-        # keep spans.py evidenced inside)
+        "stream_links": q_stream_links,
+        # --- dates.py extended this round (worded-range grammar tail) ---
+        "date_detect": q_date_detect,
+        "date_resolve": q_date_resolve,
+        # --- headline invariants kept fresh every round: E1 byte-identity
+        #     and the north-rule pairwise-F1 metric ---
+        "extract_text": q_extract_text,
+        "pairwise_f1": q_pairwise_f1,
+        # --- r2-vintage evidence rotated back IN (r3 verdict item 3: the
+        #     16 Sec-2 gates + 13 relational queries whose newest green row
+        #     is r2) ---
         "link_extract": q_link_extract,
         "bio_decode": q_bio_decode,
         "span_merge": q_span_merge,
         "bpe_tokens": q_bpe_tokens,
         "table_topk": q_table_topk,
         "table_accuracy": q_table_accuracy,
-        "job_results_page": q_job_results_page,
+        "table_coltype": q_table_coltype,
         "mention_detect": q_mention_detect,
         "el_metrics": q_el_metrics,
         "block_sizes": q_block_sizes,
         "clusters": q_clusters,
         "class_closure": q_class_closure,
-        "table_coltype": q_table_coltype,
-        # --- generic relational (green r1 AND r2) — sacrificial tail ---
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        # --- core gates refreshed with the spare slots (untouched modules,
+        #     green r3, but central enough to keep current) ---
+        "candidates": q_candidates,
+        "class_check": q_class_check,
+        "entity_index": q_entity_index,
+        # --- generic relational (r2-vintage, rotated back in) ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,
         "semi_join": q_semi_join,
@@ -1498,6 +1462,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "sort_limit": q_sort_limit,
         "array_funcs": q_array_funcs,
+        # ===== END WINDOW (50 entries above) =====
+        # Everything below is green in CORRECTNESS_r03.json and its module
+        # is untouched this round: the r2-tail/dedup/ANN/stream/multimodal
+        # surface verified by r3's window (media_*, ingest_resume,
+        # candidates_backward, ann_*, partitioned_scan, dedup_cosine,
+        # simhash*, stream_dedup/totals/window_counts, cluster_pairs,
+        # type_prune, ngram_jaccard — jaccard_verify itself is unchanged;
+        # the r4 dedup.py edit is lsh_candidate_pairs, evidenced in-window
+        # by dedup_minhash + dedup_survivors) and the r3 additions
+        # (number_detect, textstats, snapshot_latest, link_errors,
+        # lm_quality) plus ER-core gates whose modules are untouched
+        # (extract/pem/anchors/wikidata/spans/candidates siblings).
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
+        "ingest_resume": q_ingest_resume,
+        "candidates_backward": q_candidates_backward,
+        "ann_ivf": q_ann_ivf,
+        "partitioned_scan": q_partitioned_scan,
+        "dedup_cosine": q_dedup_cosine,
+        "media_features": q_media_features,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "ann_banded": q_ann_banded,
+        "ann_recall": q_ann_recall,
+        "stream_dedup": q_stream_dedup,
+        "stream_totals": q_stream_totals,
+        "stream_window_counts": q_stream_window_counts,
+        "cluster_pairs": q_cluster_pairs,
+        "type_prune": q_type_prune,
+        "ngram_jaccard": q_ngram_jaccard,
+        "number_detect": q_number_detect,
+        "textstats": q_textstats,
+        "snapshot_latest": q_snapshot_latest,
+        "link_errors": q_link_errors,
+        "lm_quality": q_lm_quality,
+        "pem_build": q_pem_build,
+        "anchor_pem": q_anchor_pem,
+        "wikidata_lookups": q_wikidata_lookups,
+        "class_arrays": q_class_arrays,
+        "sentence_split": q_sentence_split,
+        "span_correct": q_span_correct,
+        "table_link": q_table_link,
+        "ann_cosine_topk": q_ann_cosine_topk,
     }
 
 
@@ -1636,14 +1644,18 @@ def _date_resolve_oracle_sql() -> str:
     the fixture grammar guarantees parts are unique non-substrings, where
     the engine's sequential scan and strpos agree."""
     from refined_spark.operators.dates import (
+        P_D_OF_MY,
         P_DAY,
+        P_DM,
         P_DMY,
         P_MDY,
         P_MONTH,
         P_MONTH_DAY,
+        P_MONTH_OF_YEAR,
         P_MONTH_YEAR,
         P_NUM,
         P_YEAR,
+        P_YEAR_MONTH,
         PREFIX_RE,
         SPLIT_RE,
     )
@@ -1682,7 +1694,11 @@ def _date_resolve_oracle_sql() -> str:
                  when {g(P_DMY, 2)} <> '' then 'dmy'
                  when {g(P_MONTH_DAY, 1)} <> '' then 'md'
                  when {g(P_MONTH_YEAR, 1)} <> '' then 'my'
-                 when {g(P_NUM, 1)} <> '' then 'num' end as kind
+                 when {g(P_NUM, 1)} <> '' then 'num'
+                 when {g(P_D_OF_MY, 1)} <> '' then 'dofmy'
+                 when {g(P_DM, 1)} <> '' then 'dm'
+                 when {g(P_MONTH_OF_YEAR, 1)} <> '' then 'mofy'
+                 when {g(P_YEAR_MONTH, 1)} <> '' then 'ym' end as kind
           from parts
         ), fields as (
           select *,
@@ -1691,20 +1707,30 @@ def _date_resolve_oracle_sql() -> str:
               when 'mdy' then {g(P_MDY, 2)}::INT
               when 'dmy' then {g(P_DMY, 1)}::INT
               when 'md' then {g(P_MONTH_DAY, 2)}::INT
-              when 'num' then {g(P_NUM, 1)}::INT end as d0,
+              when 'num' then {g(P_NUM, 1)}::INT
+              when 'dofmy' then {g(P_D_OF_MY, 1)}::INT
+              when 'dm' then {g(P_DM, 1)}::INT end as d0,
             case kind
               when 'monthname' then {mn.format(x=g(P_MONTH, 1))}
               when 'mdy' then {mn.format(x=g(P_MDY, 1))}
               when 'dmy' then {mn.format(x=g(P_DMY, 2))}
               when 'md' then {mn.format(x=g(P_MONTH_DAY, 1))}
               when 'my' then {mn.format(x=g(P_MONTH_YEAR, 1))}
-              when 'num' then {g(P_NUM, 2)}::INT end as m0,
+              when 'num' then {g(P_NUM, 2)}::INT
+              when 'dofmy' then {mn.format(x=g(P_D_OF_MY, 2))}
+              when 'dm' then {mn.format(x=g(P_DM, 2))}
+              when 'mofy' then {mn.format(x=g(P_MONTH_OF_YEAR, 1))}
+              when 'ym' then {mn.format(x=g(P_YEAR_MONTH, 2))} end as m0,
             case kind
               when 'year' then {g(P_YEAR, 1)}::INT
               when 'mdy' then {g(P_MDY, 3)}::INT
               when 'dmy' then {g(P_DMY, 3)}::INT
               when 'my' then {g(P_MONTH_YEAR, 2)}::INT
-              when 'num' then {g(P_NUM, 3)}::INT end as y0
+              when 'num' then {g(P_NUM, 3)}::INT
+              when 'dofmy' then try_cast(nullif({g(P_D_OF_MY, 3)}, '')
+                                         as INT)
+              when 'mofy' then {g(P_MONTH_OF_YEAR, 2)}::INT
+              when 'ym' then {g(P_YEAR_MONTH, 1)}::INT end as y0
           from parsed where kind is not null
         ), revealed as (
           select *,

@@ -163,7 +163,7 @@ def _sample_date_text(rng, mode: str) -> str:
              _MONTH_ABBR[m - 1] + ("." if rng.random() < 0.5 else ""))
     prefix = ["early ", "late ", "mid-", "the start of ", "the end of ",
               "the year "][int(rng.integers(0, 6))]
-    kind = int(rng.integers(0, 10))
+    kind = int(rng.integers(0, 13))
     if kind == 0:
         return str(y)
     if kind == 1:
@@ -196,6 +196,17 @@ def _sample_date_text(rng, mode: str) -> str:
         return f"{d_lo}{sep}{m}{sep}{y}"  # ambiguous
     if kind == 8:  # ambiguous numeric regardless of mode
         return f"{d_lo}{sep}{1 + int(rng.integers(0, 12))}{sep}{y}"
+    # round-4 dateutil-parity worded shapes (dates.P_D_OF_MY..P_YEAR_MONTH)
+    if kind == 9:
+        d = 1 + int(rng.integers(0, 28))
+        dd = _ordinal(d) if rng.random() < 0.5 else str(d)
+        return (f"{dd} of {mname} {y}" if rng.random() < 0.6
+                else f"{dd} of {mname}")
+    if kind == 10:
+        return f"{1 + int(rng.integers(0, 28))} {mname}"
+    if kind == 11:
+        return (f"{mname} of {y}" if rng.random() < 0.5
+                else f"{y} {mname}")
     # unparseable junk (reference maps these to None too)
     return ["bimonthly", "80s", "the 1980s", "1-day",
             "nineteenth century"][int(rng.integers(0, 5))]

@@ -30,7 +30,15 @@ Deviations from the dateutil-backed reference, documented: the grammar is
 closed (decades/centuries/BC are unresolved in the reference too — its
 test corpus maps them to None); the numeric pattern does not require the
 two separators to be the same character; lead-in stripping is applied on
-the lowercased text.
+the lowercased text. Round 4 narrows the gap with the worded shapes
+dateutil's JUMP list resolves ('21st of February 2009', '21 February',
+'February of 2009', '2009 February' — see P_D_OF_MY..P_YEAR_MONTH);
+year-first numeric (ISO '2021-01-30') stays out: the reference's own
+doc-format vote misclassifies it (get_doc_format scans numbers_only for
+str(day), which collides with the year's digits), so there is no sane
+behavior to be parity with. The day-month detection atom inherits the
+inherent '3 May' homograph ambiguity ('chapter 3 may appear') the
+reference delegates to its trained MD head.
 """
 
 from __future__ import annotations
@@ -62,6 +70,20 @@ P_MONTH_YEAR = rf"^{MONTH_RE} (\d{{4}})$"
 P_MDY = rf"^{MONTH_RE} (\d{{1,2}})(?:st|nd|rd|th)?,? (\d{{4}})$"
 P_DMY = rf"^(\d{{1,2}})(?:st|nd|rd|th)? {MONTH_RE},? (\d{{4}})$"
 P_NUM = r"^(\d{1,2})[/.-](\d{1,2})[/.-](\d{4})$"
+
+# dateutil-parity tail (round 4): worded shapes the reference resolves via
+# dateutil's JUMP token list ('of' and ',' are skipped — parser.py
+# parserinfo.JUMP) that the r3 closed grammar rejected. All carry letters,
+# so in the reference they never join the numeric format vote
+# (date_utils.py:41-43 can_identify_format returns True on any letter) —
+# adding them cannot perturb the url-level day/month-first resolution.
+# Goldens: tests/test_dates.py pins each shape to the dateutil._parse
+# output (dateutil ships as a pandas dependency — a public oracle).
+P_D_OF_MY = (rf"^(\d{{1,2}})(?:st|nd|rd|th)? of {MONTH_RE}"
+             rf"(?:,? (\d{{4}}))?$")   # '21st of February( 2009)?'
+P_DM = rf"^(\d{{1,2}})(?:st|nd|rd|th)? {MONTH_RE}$"   # '21 February'
+P_MONTH_OF_YEAR = rf"^{MONTH_RE} of (\d{{4}})$"       # 'February of 2009'
+P_YEAR_MONTH = rf"^(\d{{4}}) {MONTH_RE}$"             # '2009 February'
 
 
 def _month_num(col):
@@ -113,10 +135,15 @@ def split_date_parts(spans: DataFrame,
 # standalone numbers are hopelessly ambiguous without a model).
 # RE2-compatible (no backrefs/lookarounds) so DuckDB can run it verbatim.
 
-_ATOM = (rf"(?:{MONTH_RE} \d{{1,2}}(?:st|nd|rd|th)?,? \d{{4}}"
+_ATOM = (rf"(?:\d{{1,2}}(?:st|nd|rd|th)? of {MONTH_RE},? \d{{4}}"
+         rf"|{MONTH_RE} \d{{1,2}}(?:st|nd|rd|th)?,? \d{{4}}"
          rf"|\d{{1,2}}(?:st|nd|rd|th)? {MONTH_RE},? \d{{4}}"
+         rf"|\d{{1,2}}(?:st|nd|rd|th)? of {MONTH_RE}"
+         rf"|{MONTH_RE} of \d{{4}}"
+         rf"|\d{{4}} {MONTH_RE}"
          rf"|{MONTH_RE} \d{{4}}"
          rf"|{MONTH_RE} \d{{1,2}}(?:st|nd|rd|th)?"
+         rf"|\d{{1,2}}(?:st|nd|rd|th)? {MONTH_RE}"
          rf"|\d{{1,2}}[/.-]\d{{1,2}}[/.-]\d{{4}})")
 _RANGE_SEP = r"(?:\s?--\s?| - | to )"
 DETECT_PATTERN = (rf"\b(?:(?:{_ATOM}|\d{{4}}){_RANGE_SEP}"
@@ -221,6 +248,26 @@ def resolve_dates(spans: DataFrame,
             num(P_NUM, 2).alias("month"),
             num(P_NUM, 3).alias("year"),
             F.lit("num").alias("kind"),
+        )).when(ex(P_D_OF_MY, 1) != "", F.struct(
+            num(P_D_OF_MY, 1).alias("day"),
+            _month_num(ex(P_D_OF_MY, 2)).alias("month"),
+            num(P_D_OF_MY, 3).alias("year"),   # optional group -> NULL
+            F.lit("fixed").alias("kind"),
+        )).when(ex(P_DM, 1) != "", F.struct(
+            num(P_DM, 1).alias("day"),
+            _month_num(ex(P_DM, 2)).alias("month"),
+            F.lit(None).cast("int").alias("year"),
+            F.lit("fixed").alias("kind"),
+        )).when(ex(P_MONTH_OF_YEAR, 1) != "", F.struct(
+            F.lit(None).cast("int").alias("day"),
+            _month_num(ex(P_MONTH_OF_YEAR, 1)).alias("month"),
+            num(P_MONTH_OF_YEAR, 2).alias("year"),
+            F.lit("fixed").alias("kind"),
+        )).when(ex(P_YEAR_MONTH, 1) != "", F.struct(
+            F.lit(None).cast("int").alias("day"),
+            _month_num(ex(P_YEAR_MONTH, 2)).alias("month"),
+            num(P_YEAR_MONTH, 1).alias("year"),
+            F.lit("fixed").alias("kind"),
         )).alias("_d"),
     ).where(F.col("_d").isNotNull())
 

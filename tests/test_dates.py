@@ -42,6 +42,27 @@ GOLDEN = [
     ("19th century", []),      # "19th" would be a day, but "century" trails
     ("1-day", []),
     ("bimonthly", []),
+    # round-4 dateutil-parity tail: worded shapes the reference resolves
+    # through dateutil's JUMP list ('of'/',' skipped) that the r3 closed
+    # grammar rejected. Expected tuples = dateutil.parser._parse output
+    # (pinned independently by test_dateutil_parity below).
+    ("21st of February 2009", [(21, 2, 2009, True)]),
+    ("21 of February 2009", [(21, 2, 2009, True)]),
+    ("30th of January, 2021", [(30, 1, 2021, True)]),
+    ("1st of May", [(1, 5, None, True)]),
+    ("21 February", [(21, 2, None, True)]),
+    ("21st February", [(21, 2, None, True)]),
+    ("4 Sept.", [(4, 9, None, True)]),
+    ("February of 2009", [(None, 2, 2009, True)]),
+    ("2009 February", [(None, 2, 2009, True)]),
+    ("2009 Feb.", [(None, 2, 2009, True)]),
+    # 'the' is not in dateutil's JUMP list: the reference returns None
+    ("the 21st of February 2009", []),
+    # worded range: splitter + the new atoms compose
+    ("1st of May 1945 to 8 May 1988",
+     [(1, 5, 1945, True), (8, 5, 1988, True)]),
+    ("February of 2009 -- 2010 March",
+     [(None, 2, 2009, True), (None, 3, 2010, True)]),
 ]
 
 
@@ -138,3 +159,52 @@ def test_range_offsets_spaced_joiner(spark):
                   for r in resolve_dates(df).collect())
     assert rows == [("u", 0, 0, "4 May 1945"), ("u", 1, 14, "8 May 1988"),
                     ("v", 0, 0, "1950"), ("v", 1, 8, "1977")]
+
+
+def test_dateutil_parity_new_shapes():
+    """The round-4 worded shapes are pinned to the PUBLIC oracle the
+    reference actually runs — dateutil.parser._parse (dateutil ships as a
+    pandas dependency). Pure-Python: replays the reference's
+    _get_date_from_text preprocessing (start_regex strip on the raw text)
+    and compares (day, month, year) with the GOLDEN rows so the Spark
+    grammar, the goldens, and dateutil cannot drift three ways."""
+    import re
+
+    import dateutil.parser
+
+    parser = dateutil.parser.parser()
+    start_re = re.compile(r"^(early|late|mid|the start of|the end of"
+                          r"|the middle of|the year)( |-)")
+    new_shapes = {t: w for t, w in GOLDEN if " of " in t.lower()
+                  or re.match(r"^\d{1,2}(st|nd|rd|th)? [A-Za-z]+\.?$", t)
+                  or re.match(r"^\d{4} [A-Za-z]+\.?$", t)}
+    assert len(new_shapes) >= 9   # the tail is non-vacuous
+    for text, want in new_shapes.items():
+        if " to " in text or "--" in text:
+            continue  # ranges split before parsing; atoms covered above
+        res, _ = parser._parse(start_re.sub("", text.lower()))
+        got = (None if res is None
+               else [(res.day, res.month, res.year, True)])
+        want_cmp = want if want else None
+        assert got == want_cmp, (text, got, want_cmp)
+
+
+def test_detect_new_worded_shapes(spark):
+    from refined_spark.operators.dates import detect_date_spans
+
+    docs = spark.createDataFrame([
+        ("w1", "Signed on the 21st of February 2009 in Rome."),
+        ("w2", "It rained 21 February and snowed in February of 2009."),
+        ("w3", "The 2009 February issue sold out."),
+        # day-month homograph: the grammar stand-in (unlike the
+        # reference's trained MD head) DOES match '3 May' here —
+        # documented inherent ambiguity, pinned so a change is loud
+        ("w4", "chapter 3 may appear later"),
+    ], "url string, text string")
+    got = {(r["url"], r["start"], r["date_text"])
+           for r in detect_date_spans(docs).collect()}
+    assert ("w1", 14, "21st of February 2009") in got
+    assert ("w2", 10, "21 February") in got
+    assert ("w2", 36, "February of 2009") in got
+    assert ("w3", 4, "2009 February") in got
+    assert ("w4", 8, "3 may") in got
