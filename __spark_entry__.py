@@ -1644,18 +1644,10 @@ def _date_resolve_oracle_sql() -> str:
     the fixture grammar guarantees parts are unique non-substrings, where
     the engine's sequential scan and strpos agree."""
     from refined_spark.operators.dates import (
-        P_D_OF_MY,
-        P_DAY,
-        P_DM,
-        P_DMY,
-        P_MDY,
-        P_MONTH,
-        P_MONTH_DAY,
-        P_MONTH_OF_YEAR,
-        P_MONTH_YEAR,
+        P_FAM_D,
+        P_FAM_M,
+        P_FAM_Y,
         P_NUM,
-        P_YEAR,
-        P_YEAR_MONTH,
         PREFIX_RE,
         SPLIT_RE,
     )
@@ -1665,9 +1657,12 @@ def _date_resolve_oracle_sql() -> str:
         # (backslash is NOT an escape character there)
         return p.replace("'", "''")
 
-    mn = ("list_position(['jan','feb','mar','apr','may','jun','jul','aug',"
-          "'sep','oct','nov','dec'], substr(replace({x}, '.', ''), 1, 3))"
-          "::INT")
+    # nullif(..., 0): a family's month group may be EMPTY on a match
+    # ('2012' in fam_y) — list_position returns 0 for a miss, the Spark
+    # side's _month_num nullifs it (dates.py)
+    mn = ("nullif(list_position(['jan','feb','mar','apr','may','jun',"
+          "'jul','aug','sep','oct','nov','dec'], "
+          "substr(replace({x}, '.', ''), 1, 3)), 0)::INT")
 
     def g(pat, i):
         return f"regexp_extract(s, '{esc(pat)}', {i})"
@@ -1687,50 +1682,32 @@ def _date_resolve_oracle_sql() -> str:
           from sp, unnest(generate_series(1, len(p))) as t(i)
         ), parsed as (
           select *,
-            case when {g(P_YEAR, 1)} <> '' then 'year'
-                 when {g(P_MONTH, 1)} <> '' then 'monthname'
-                 when {g(P_DAY, 1)} <> '' then 'dayord'
-                 when {g(P_MDY, 1)} <> '' then 'mdy'
-                 when {g(P_DMY, 2)} <> '' then 'dmy'
-                 when {g(P_MONTH_DAY, 1)} <> '' then 'md'
-                 when {g(P_MONTH_YEAR, 1)} <> '' then 'my'
-                 when {g(P_NUM, 1)} <> '' then 'num'
-                 when {g(P_D_OF_MY, 1)} <> '' then 'dofmy'
-                 when {g(P_DM, 1)} <> '' then 'dm'
-                 when {g(P_MONTH_OF_YEAR, 1)} <> '' then 'mofy'
-                 when {g(P_YEAR_MONTH, 1)} <> '' then 'ym' end as kind
+            case when {g(P_FAM_Y, 1)} <> '' then 'fam_y'
+                 when {g(P_FAM_D, 1)} <> '' then 'fam_d'
+                 when {g(P_FAM_M, 1)} <> '' then 'fam_m'
+                 when {g(P_NUM, 1)} <> '' then 'num' end as kind
           from parts
         ), fields as (
           select *,
             case kind
-              when 'dayord' then {g(P_DAY, 1)}::INT
-              when 'mdy' then {g(P_MDY, 2)}::INT
-              when 'dmy' then {g(P_DMY, 1)}::INT
-              when 'md' then {g(P_MONTH_DAY, 2)}::INT
-              when 'num' then {g(P_NUM, 1)}::INT
-              when 'dofmy' then {g(P_D_OF_MY, 1)}::INT
-              when 'dm' then {g(P_DM, 1)}::INT end as d0,
-            case kind
-              when 'monthname' then {mn.format(x=g(P_MONTH, 1))}
-              when 'mdy' then {mn.format(x=g(P_MDY, 1))}
-              when 'dmy' then {mn.format(x=g(P_DMY, 2))}
-              when 'md' then {mn.format(x=g(P_MONTH_DAY, 1))}
-              when 'my' then {mn.format(x=g(P_MONTH_YEAR, 1))}
-              when 'num' then {g(P_NUM, 2)}::INT
-              when 'dofmy' then {mn.format(x=g(P_D_OF_MY, 2))}
-              when 'dm' then {mn.format(x=g(P_DM, 2))}
-              when 'mofy' then {mn.format(x=g(P_MONTH_OF_YEAR, 1))}
-              when 'ym' then {mn.format(x=g(P_YEAR_MONTH, 2))} end as m0,
-            case kind
-              when 'year' then {g(P_YEAR, 1)}::INT
-              when 'mdy' then {g(P_MDY, 3)}::INT
-              when 'dmy' then {g(P_DMY, 3)}::INT
-              when 'my' then {g(P_MONTH_YEAR, 2)}::INT
-              when 'num' then {g(P_NUM, 3)}::INT
-              when 'dofmy' then try_cast(nullif({g(P_D_OF_MY, 3)}, '')
+              when 'fam_d' then {g(P_FAM_D, 1)}::INT
+              when 'fam_m' then try_cast(nullif({g(P_FAM_M, 3)}, '')
                                          as INT)
-              when 'mofy' then {g(P_MONTH_OF_YEAR, 2)}::INT
-              when 'ym' then {g(P_YEAR_MONTH, 1)}::INT end as y0
+              when 'num' then {g(P_NUM, 1)}::INT end as d0,
+            case kind
+              when 'fam_y' then {mn.format(x=g(P_FAM_Y, 2))}
+              when 'fam_d' then {mn.format(x=g(P_FAM_D, 2))}
+              when 'fam_m' then {mn.format(x=g(P_FAM_M, 1))}
+              when 'num' then {g(P_NUM, 2)}::INT end as m0,
+            case kind
+              when 'fam_y' then {g(P_FAM_Y, 1)}::INT
+              when 'fam_d' then try_cast(nullif({g(P_FAM_D, 3)}, '')
+                                         as INT)
+              when 'fam_m' then coalesce(
+                  try_cast(nullif({g(P_FAM_M, 2)}, '') as INT),
+                  try_cast(nullif({g(P_FAM_M, 4)}, '') as INT),
+                  try_cast(nullif({g(P_FAM_M, 5)}, '') as INT))
+              when 'num' then {g(P_NUM, 3)}::INT end as y0
           from parsed where kind is not null
         ), revealed as (
           select *,

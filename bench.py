@@ -52,11 +52,12 @@ def _pin(cmd: list[str], n_cores: int) -> list[str]:
 
 
 def run_worker(master: str, parts: int, fixture_dir: str,
-               warmup_dir: str) -> dict:
+               warmup_dir: str, typing_mode: str = "prior") -> dict:
     out = subprocess.run(
         _pin([sys.executable,
               os.path.join(REPO, "tools", "bench_worker.py"),
-              master, str(parts), fixture_dir, MODE, warmup_dir], parts),
+              master, str(parts), fixture_dir, MODE, warmup_dir,
+              typing_mode], parts),
         capture_output=True, text=True, timeout=2400, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -180,6 +181,12 @@ def main() -> None:
     r32 = run_worker(f"local[{CPUS}]", CPUS, fx, warm)
     thr32 = r32["n_docs"] / r32["seconds"]
 
+    # opt-in real-F4 entity-typing path (typing_mode='et'): one full-width
+    # leg back-to-back with the default r32 run above, so BENCH records
+    # the ET cost delta under the same host window (r3 verdict item 8)
+    r32et = run_worker(f"local[{CPUS}]", CPUS, fx, warm, typing_mode="et")
+    thr32et = r32et["n_docs"] / r32et["seconds"]
+
     result = {
         "metric": "er_pipeline_docs_per_sec_local32",
         "value": round(thr32, 1),
@@ -187,7 +194,8 @@ def main() -> None:
         "queries": {**queries,
                     f"er_pipeline_local{n}": rn["seconds"],
                     f"er_pipeline_local{n4}": rm["seconds"],
-                    f"er_pipeline_local{CPUS}": r32["seconds"]},
+                    f"er_pipeline_local{CPUS}": r32["seconds"],
+                    f"er_pipeline_et_local{CPUS}": r32et["seconds"]},
         "sf": 0.1,
         "pipeline_mode": MODE,
         "n_docs": r32["n_docs"],
@@ -195,6 +203,7 @@ def main() -> None:
         f"docs_per_sec_local{n}": round(thr_n, 1),
         f"docs_per_sec_local{n4}": round(thr_m, 1),
         f"docs_per_sec_local{CPUS}": round(thr32, 1),
+        f"docs_per_sec_et_local{CPUS}": round(thr32et, 1),
         "mentions_per_sec_local32": round(r32["n_mentions"]
                                           / r32["seconds"], 1),
         "scaling_levels": [n, n4],

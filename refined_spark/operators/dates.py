@@ -62,28 +62,40 @@ MONTH_RE = (r"(jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may"
 MONTHS3 = ("array('jan','feb','mar','apr','may','jun','jul','aug','sep',"
            "'oct','nov','dec')")
 
-P_YEAR = r"^(\d{4})$"
-P_MONTH = rf"^{MONTH_RE}$"
-P_DAY = r"^(\d{1,2})(?:st|nd|rd|th)$"
-P_MONTH_DAY = rf"^{MONTH_RE} (\d{{1,2}})(?:st|nd|rd|th)?$"
-P_MONTH_YEAR = rf"^{MONTH_RE} (\d{{4}})$"
-P_MDY = rf"^{MONTH_RE} (\d{{1,2}})(?:st|nd|rd|th)?,? (\d{{4}})$"
-P_DMY = rf"^(\d{{1,2}})(?:st|nd|rd|th)? {MONTH_RE},? (\d{{4}})$"
+# The resolvable grammar, as THREE family patterns + the numeric one —
+# merged by leading token so each date part is tested against 4 regexes,
+# not 13 per-shape ones. The merge matters twice over: (a) ~3x less
+# regex work per row in any execution mode, and (b) the per-shape
+# cascade's ~40 inlined regexp_extract calls overflowed janino's 64 KB
+# method limit in the fused Generate+Project stage (whole-stage codegen
+# fell back to interpreted — a pre-existing r3 condition, measured, not
+# introduced by the round-4 shapes). Alternation capture semantics are
+# leftmost-FIRST in both java.util.regex and RE2, so the DuckDB oracle
+# extracts identical groups. Round 4 also added the worded shapes
+# dateutil resolves via its JUMP token list ('of' and ',' are skipped —
+# parser.py parserinfo.JUMP) that the r3 closed grammar rejected; all
+# carry letters, so per the reference's can_identify_format
+# (date_utils.py:41-43) they never join the numeric format vote.
+# Goldens: tests/test_dates.py pins every shape, the new ones to the
+# dateutil._parse output itself (dateutil ships as a pandas dependency —
+# a public oracle).
+#
+# Month-led — 'February', 'Feb. 21st', 'March 2021', 'February 21st
+# 2009', 'February 21, 2009', 'February of 2009':
+#   g1=month, g2=year(of-form), g3=day, g4=year(after day), g5=bare year
+P_FAM_M = (rf"^{MONTH_RE}(?: of (\d{{4}})"
+           rf"| (\d{{1,2}})(?:st|nd|rd|th)?(?:,? (\d{{4}}))?"
+           rf"| (\d{{4}}))?$")
+# Day-led — '23rd' (bare day REQUIRES the ordinal suffix: standalone
+# numbers are not dates), '21 February', '21st of February 2009',
+# '4 May 1945', '30th of January, 2021':
+#   g1=day, g2=month, g3=year
+P_FAM_D = (r"^(\d{1,2})(?:(?:st|nd|rd|th)"
+           rf"|(?:st|nd|rd|th)? (?:of )?{MONTH_RE}(?:,? (\d{{4}}))?)$")
+# Year-led — '2012', '2009 February':  g1=year, g2=month
+P_FAM_Y = rf"^(\d{{4}})(?: {MONTH_RE})?$"
+# Numeric — '30/01/2021' (day/month order resolved by the doc vote)
 P_NUM = r"^(\d{1,2})[/.-](\d{1,2})[/.-](\d{4})$"
-
-# dateutil-parity tail (round 4): worded shapes the reference resolves via
-# dateutil's JUMP token list ('of' and ',' are skipped — parser.py
-# parserinfo.JUMP) that the r3 closed grammar rejected. All carry letters,
-# so in the reference they never join the numeric format vote
-# (date_utils.py:41-43 can_identify_format returns True on any letter) —
-# adding them cannot perturb the url-level day/month-first resolution.
-# Goldens: tests/test_dates.py pins each shape to the dateutil._parse
-# output (dateutil ships as a pandas dependency — a public oracle).
-P_D_OF_MY = (rf"^(\d{{1,2}})(?:st|nd|rd|th)? of {MONTH_RE}"
-             rf"(?:,? (\d{{4}}))?$")   # '21st of February( 2009)?'
-P_DM = rf"^(\d{{1,2}})(?:st|nd|rd|th)? {MONTH_RE}$"   # '21 February'
-P_MONTH_OF_YEAR = rf"^{MONTH_RE} of (\d{{4}})$"       # 'February of 2009'
-P_YEAR_MONTH = rf"^(\d{{4}}) {MONTH_RE}$"             # '2009 February'
 
 
 def _month_num(col):
@@ -206,92 +218,117 @@ def resolve_dates(spans: DataFrame,
     def num(pat, i):
         return F.nullif(ex(pat, i), F.lit("")).cast("int")
 
+    # Codegen discipline (measured, not speculative): the parse runs in
+    # the stage FUSED with the posexplode, where every reference to a
+    # projection alias is re-inlined by CollapseProject / filter-pushdown
+    # alias substitution. The r3 shape (9 per-shape patterns, ~40
+    # regexp_extract calls, a separate _reveal select, a final valid
+    # filter) emitted the cascade ~3x and overflowed janino's 64 KB
+    # method limit — whole-stage codegen silently fell back to
+    # interpreted for the whole stage. Two fixes, both load-bearing:
+    # (1) the per-shape patterns are merged into the four FAMILY
+    # patterns above (~3x fewer regex evaluations per row in any mode),
+    # and (2) the parse is split into a raw-GROUP extraction step (each
+    # group exactly ONE regexp_extract, multi-referenced downstream) and
+    # a cheap struct-assembly step over those group ATTRIBUTES —
+    # CollapseProject's cost guard keeps non-cheap aliases referenced
+    # more than once un-collapsed, so the regex work is emitted once in
+    # the projection plus once in the pushed-down keep filter, well
+    # under the method limit. Downstream consumers touch `_d` fields
+    # only across the votes join (bound references — no re-inlining).
+    groups = {
+        "_gy1": ex(P_FAM_Y, 1), "_gy2": ex(P_FAM_Y, 2),
+        "_gd1": ex(P_FAM_D, 1), "_gd2": ex(P_FAM_D, 2),
+        "_gd3": ex(P_FAM_D, 3),
+        "_gm1": ex(P_FAM_M, 1), "_gm2": ex(P_FAM_M, 2),
+        "_gm3": ex(P_FAM_M, 3), "_gm4": ex(P_FAM_M, 4),
+        "_gm5": ex(P_FAM_M, 5),
+        "_gn1": ex(P_NUM, 1), "_gn2": ex(P_NUM, 2), "_gn3": ex(P_NUM, 3),
+    }
+    p = p.select("*", *[c.alias(n) for n, c in groups.items()])
+
+    def snum(name):
+        return F.nullif(F.col(name), F.lit("")).cast("int")
+
+    # family discriminators: the leading capture group participates on
+    # every match of its family (empty groups extract as ''), and the
+    # four families are mutually exclusive by their leading token.
+    # reveal + structural validity are folded into the branch that knows
+    # them (get_doc_format: a revealing date is numeric with its DAY
+    # component > 12).
+    a0, b0 = snum("_gn1"), snum("_gn2")
+    fixed_valid = (lambda day:
+                   F.coalesce(day, F.lit(1)).between(1, 31))
+    num_ambig = (a0 <= 12) & (b0 <= 12)
+
+    # url-level vote, derived BEFORE the struct assembly: a revealing
+    # row is by construction a P_NUM row (the numeric leading token is
+    # disjoint from every worded family), so the votes subtree needs
+    # only the two numeric groups — column pruning drops the other 11
+    # extracts from its scan, and the pushed-down reveal filter
+    # re-inlines 2 regexes instead of the whole parse (the votes stage
+    # was the last 64 KB codegen overflow standing). An invalid
+    # revealing row still votes — reference parity with the sequential
+    # replay.
+    reveal0 = (F.when((a0 > 12) & (b0 <= 12), F.lit("day_first"))
+               .when((b0 > 12) & (a0 <= 12), F.lit("month_first")))
+    votes = (p.select("url", reveal0.alias("_rv"))
+             .where(F.col("_rv").isNotNull())
+             .groupBy("url")
+             .agg(F.when(F.count_distinct("_rv") == 1,
+                         F.min("_rv")).alias("_doc_fmt")))
+
+    # Structural validity GATES each branch's condition (an invalid
+    # parse yields NULL `_d`, dropped by the keep filter below) instead
+    # of living in a separate post-join filter: a pushed-down
+    # where(_d.valid) was a THIRD full-cascade emission in the fused
+    # stage — the last 64 KB overflow. Equivalent row set: the families
+    # are disjoint by leading token, so a gated-out branch never falls
+    # through to another family, and (since the vote derives from `p`
+    # above) an invalid revealing row still votes, as in the reference.
     parsed = p.select(
         "*",
-        F.when(ex(P_YEAR, 1) != "", F.struct(
+        F.when(F.col("_gy1") != "", F.struct(
             F.lit(None).cast("int").alias("day"),
-            F.lit(None).cast("int").alias("month"),
-            num(P_YEAR, 1).alias("year"),
+            _month_num(F.col("_gy2")).alias("month"),
+            snum("_gy1").alias("year"),
             F.lit("fixed").alias("kind"),
-        )).when(ex(P_MONTH, 1) != "", F.struct(
-            F.lit(None).cast("int").alias("day"),
-            _month_num(ex(P_MONTH, 1)).alias("month"),
-            F.lit(None).cast("int").alias("year"),
+            F.lit(None).cast("string").alias("reveal"),
+        )).when((F.col("_gd1") != "")
+                & fixed_valid(snum("_gd1")), F.struct(
+            snum("_gd1").alias("day"),
+            _month_num(F.col("_gd2")).alias("month"),
+            snum("_gd3").alias("year"),
             F.lit("fixed").alias("kind"),
-        )).when(ex(P_DAY, 1) != "", F.struct(
-            num(P_DAY, 1).alias("day"),
-            F.lit(None).cast("int").alias("month"),
-            F.lit(None).cast("int").alias("year"),
+            F.lit(None).cast("string").alias("reveal"),
+        )).when((F.col("_gm1") != "")
+                & fixed_valid(snum("_gm3")), F.struct(
+            snum("_gm3").alias("day"),
+            _month_num(F.col("_gm1")).alias("month"),
+            F.coalesce(snum("_gm2"), snum("_gm4"),
+                       snum("_gm5")).alias("year"),
             F.lit("fixed").alias("kind"),
-        )).when(ex(P_MDY, 1) != "", F.struct(
-            num(P_MDY, 2).alias("day"),
-            _month_num(ex(P_MDY, 1)).alias("month"),
-            num(P_MDY, 3).alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_DMY, 2) != "", F.struct(
-            num(P_DMY, 1).alias("day"),
-            _month_num(ex(P_DMY, 2)).alias("month"),
-            num(P_DMY, 3).alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_MONTH_DAY, 1) != "", F.struct(
-            num(P_MONTH_DAY, 2).alias("day"),
-            _month_num(ex(P_MONTH_DAY, 1)).alias("month"),
-            F.lit(None).cast("int").alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_MONTH_YEAR, 1) != "", F.struct(
-            F.lit(None).cast("int").alias("day"),
-            _month_num(ex(P_MONTH_YEAR, 1)).alias("month"),
-            num(P_MONTH_YEAR, 2).alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_NUM, 1) != "", F.struct(
-            num(P_NUM, 1).alias("day"),     # provisional: a, b
-            num(P_NUM, 2).alias("month"),
-            num(P_NUM, 3).alias("year"),
+            F.lit(None).cast("string").alias("reveal"),
+        )).when((F.col("_gn1") != "")
+                & (num_ambig & (F.least(a0, b0) >= 1)
+                   | (~num_ambig & F.least(a0, b0).between(1, 12)
+                      & (F.greatest(a0, b0) <= 31))), F.struct(
+            a0.alias("day"),     # provisional: a, b
+            b0.alias("month"),
+            snum("_gn3").alias("year"),
             F.lit("num").alias("kind"),
-        )).when(ex(P_D_OF_MY, 1) != "", F.struct(
-            num(P_D_OF_MY, 1).alias("day"),
-            _month_num(ex(P_D_OF_MY, 2)).alias("month"),
-            num(P_D_OF_MY, 3).alias("year"),   # optional group -> NULL
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_DM, 1) != "", F.struct(
-            num(P_DM, 1).alias("day"),
-            _month_num(ex(P_DM, 2)).alias("month"),
-            F.lit(None).cast("int").alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_MONTH_OF_YEAR, 1) != "", F.struct(
-            F.lit(None).cast("int").alias("day"),
-            _month_num(ex(P_MONTH_OF_YEAR, 1)).alias("month"),
-            num(P_MONTH_OF_YEAR, 2).alias("year"),
-            F.lit("fixed").alias("kind"),
-        )).when(ex(P_YEAR_MONTH, 1) != "", F.struct(
-            F.lit(None).cast("int").alias("day"),
-            _month_num(ex(P_YEAR_MONTH, 2)).alias("month"),
-            num(P_YEAR_MONTH, 1).alias("year"),
-            F.lit("fixed").alias("kind"),
+            F.when((a0 > 12) & (b0 <= 12), F.lit("day_first"))
+            .when((b0 > 12) & (a0 <= 12), F.lit("month_first"))
+            .alias("reveal"),
         )).alias("_d"),
-    ).where(F.col("_d").isNotNull())
+    ).drop("_s", *groups).where(F.col("_d").isNotNull())
 
-    a, b = F.col("_d.day"), F.col("_d.month")
-    # numeric order resolution + per-date format reveal (get_doc_format:
-    # a revealing date is numeric with its DAY component > 12)
-    parsed = parsed.select(
-        "*",
-        F.when(F.col("_d.kind") == "num",
-               F.when((a > 12) & (b <= 12), F.lit("day_first"))
-               .when((b > 12) & (a <= 12), F.lit("month_first"))
-               ).alias("_reveal"),
-    )
-
-    # url-level vote: exactly one distinct revealed format
-    votes = (parsed.where(F.col("_reveal").isNotNull())
-             .groupBy("url")
-             .agg(F.when(F.count_distinct("_reveal") == 1,
-                         F.min("_reveal")).alias("_doc_fmt")))
     r = parsed.join(F.broadcast(votes), "url", "left")
 
+    a, b = F.col("_d.day"), F.col("_d.month")
     is_num = F.col("_d.kind") == "num"
     ambig = is_num & (a <= 12) & (b <= 12)
-    eff_fmt = F.coalesce(F.col("_reveal"), F.col("_doc_fmt"))
+    eff_fmt = F.coalesce(F.col("_d.reveal"), F.col("_doc_fmt"))
     day = (
         F.when(~is_num, F.col("_d.day"))
         .when(eff_fmt == "day_first", a)
@@ -304,12 +341,6 @@ def resolve_dates(spans: DataFrame,
     )
     year = F.when(~is_num | eff_fmt.isNotNull(), F.col("_d.year"))
     known = ~(ambig & eff_fmt.isNull())
-    valid = (
-        (~is_num & F.coalesce(F.col("_d.day"), F.lit(1)).between(1, 31))
-        | (is_num & ambig & (F.least(a, b) >= 1))
-        | (is_num & ~ambig & F.least(a, b).between(1, 12)
-           & (F.greatest(a, b) <= 31))
-    )
 
     ts = F.when(
         day.isNotNull() & month.isNotNull() & year.isNotNull(),
@@ -326,8 +357,7 @@ def resolve_dates(spans: DataFrame,
     )
 
     return (
-        r.where(valid)
-        .select(
+        r.select(
             "url", "start", "part_idx", "offset", "date_part",
             day.alias("day"), month.alias("month"), year.alias("year"),
             known.alias("known_format"), ts.alias("timepoint"),
