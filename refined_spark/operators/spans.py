@@ -81,20 +81,28 @@ def correct_spans(spans: DataFrame) -> DataFrame:
                              F.expr("substring(text, 1, length(text)-1)"))
                       .otherwise(F.col("text"))))
 
-    df = df.where(F.col("text") != "the")
-
     # title/first-mention split: document-leading span with exactly one
-    # paragraph break becomes two MENTION spans
+    # paragraph break becomes two MENTION spans. The post-strip
+    # `text != 'the'` drop (reference order: after the quote strips,
+    # before the split) is FOLDED INTO the explode input — a NULL array
+    # explodes to zero rows — rather than expressed as a where():
+    # filter pushdown substitutes aliases with no cost guard, and the
+    # pushed predicate re-composed the whole 6-step strip chain into one
+    # ~450 KB Filter expression that overflowed janino's 64 KB method
+    # limit (whole-stage codegen silently fell back to interpreted for
+    # the span-correction stage; measured round 4). Generate input
+    # expressions are not subject to predicate pushdown, so the chain
+    # stays one step per Project.
     pieces = F.split("text", "\n\n")
     splittable = ((F.col("start") == 0) & (F.size(pieces) == 2)
                   & (F.length("text") > 2))
-    parts = F.when(splittable, F.array(
+    parts = F.when(F.col("text") != "the", F.when(splittable, F.array(
         F.struct(F.lit(0).alias("p_start"),
                  F.element_at(pieces, 1).alias("p_text")),
         F.struct((F.locate("\n\n", F.col("text")) + 1).alias("p_start"),
                  F.element_at(pieces, 2).alias("p_text")),
     )).otherwise(F.array(F.struct(F.col("start").alias("p_start"),
-                                  F.col("text").alias("p_text"))))
+                                  F.col("text").alias("p_text")))))
     return (
         df.select("url", F.explode(parts).alias("p"))
         .select("url",
