@@ -1422,6 +1422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dates.py extended this round (worded-range grammar tail) ---
         "date_detect": q_date_detect,
         "date_resolve": q_date_resolve,
+        # --- spans.py changed this round (the E6 'the'-drop folded into the
+        #     explode input to restore whole-stage codegen) -> span_correct
+        #     gates correct_spans directly ---
+        "span_correct": q_span_correct,
         # --- headline invariants kept fresh every round: E1 byte-identity
         #     and the north-rule pairwise-F1 metric ---
         "extract_text": q_extract_text,
@@ -1444,10 +1448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
         # --- core gates refreshed with the spare slots (untouched modules,
-        #     green r3, but central enough to keep current) ---
+        #     green r3, but central enough to keep current; entity_index
+        #     rotated out this round to make room for span_correct, whose
+        #     module DID change — pem_build.py is untouched since its r3
+        #     green row) ---
         "candidates": q_candidates,
         "class_check": q_class_check,
-        "entity_index": q_entity_index,
         # --- generic relational (r2-vintage, rotated back in) ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,
@@ -1472,8 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r4 dedup.py edit is lsh_candidate_pairs, evidenced in-window
         # by dedup_minhash + dedup_survivors) and the r3 additions
         # (number_detect, textstats, snapshot_latest, link_errors,
-        # lm_quality) plus ER-core gates whose modules are untouched
-        # (extract/pem/anchors/wikidata/spans/candidates siblings).
+        # lm_quality) plus ER-core gates whose functions are untouched
+        # (extract/pem/anchors/wikidata/candidates siblings; spans.py's
+        # r4 edit is correct_spans, gated in-window by span_correct —
+        # split_sentences itself is unchanged since its r3 green row).
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "ingest_resume": q_ingest_resume,
@@ -1503,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wikidata_lookups": q_wikidata_lookups,
         "class_arrays": q_class_arrays,
         "sentence_split": q_sentence_split,
-        "span_correct": q_span_correct,
+        "entity_index": q_entity_index,
         "table_link": q_table_link,
         "ann_cosine_topk": q_ann_cosine_topk,
     }
