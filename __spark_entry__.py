@@ -1120,6 +1120,46 @@ def q_lm_quality(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_pii_redact(spark, sf):
+    """PII scrub (operators/pii.py): sequential email → IPv4 → phone
+    regexp count+redact as pure JVM Column expressions (no UDF, zero
+    exchanges — the FineWeb/ROOTS anonymization step with textstats
+    physics). The oracle SQL is GENERATED from the same ordered
+    PATTERNS list the Spark plan compiles (count_sql/redacted_sql), so
+    the two engines cannot drift pattern-by-pattern. The fixture corpus
+    is non-vacuous per class (100 emails / 40 IPs / 60 phones at t2;
+    20 clean docs) and pins the edge shapes: IP-shaped email domains
+    (the email stage eats them — sequential semantics), 4-digit octets
+    defeating the word boundary, both phone separator forms."""
+    from refined_spark.operators.pii import with_pii
+
+    return (with_pii(_fx(spark, sf, "pii_docs"))
+            .select("doc_id", "n_email", "n_ip", "n_phone", "has_pii",
+                    "redacted")
+            .orderBy("doc_id"))
+
+
+def q_decontam(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): a document is
+    contaminated if any 8-gram of its normalized text occurs in the
+    benchmark suite (the GPT-3 appendix-C rule). Corpus n-grams explode
+    scan-locally and LEFT-SEMI join the BROADCAST distinct benchmark
+    gram set — corpus text never crosses an exchange; the only shuffle
+    is the per-doc hit count over matched pairs (contamination-scale).
+    Returns the audit frame (url, n_hit_grams) — 30 of 2000 fixture
+    docs hit, clean benchmark rows and <8-token docs both non-vacuous;
+    the DuckDB replay slices the identical lowercase-[a-z0-9]+ token
+    stream (shared ngram_sql emitter)."""
+    from refined_spark.operators.decontam import (benchmark_ngrams,
+                                                  contaminated_ids)
+
+    docs = _fx(spark, sf, "documents")
+    bench = _fx(spark, sf, "benchmark")
+    return (contaminated_ids(docs, benchmark_ngrams(bench, n=8), n=8,
+                             id_col="url")
+            .orderBy("url"))
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1447,13 +1487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_closure": q_class_closure,
         "dedup_exact": q_dedup_exact,
         "lang_id": q_lang_id,
-        # --- core gates refreshed with the spare slots (untouched modules,
-        #     green r3, but central enough to keep current; entity_index
-        #     rotated out this round to make room for span_correct, whose
-        #     module DID change — pem_build.py is untouched since its r3
-        #     green row) ---
-        "candidates": q_candidates,
-        "class_check": q_class_check,
+        # --- NEW this round: the two remaining standard training-data
+        #     pipeline steps (PII scrub, benchmark decontamination) ---
+        "pii_redact": q_pii_redact,
+        "decontam": q_decontam,
         # --- generic relational (r2-vintage, rotated back in) ---
         "lineitem_agg": q_lineitem_agg,
         "join_agg": q_join_agg,
@@ -1469,6 +1506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": q_sort_limit,
         "array_funcs": q_array_funcs,
         # ===== END WINDOW (50 entries above) =====
+        # candidates/class_check gave up their spare slots to the two
+        # new-this-round entries (their modules are untouched since
+        # their r3 green rows); entity_index likewise for span_correct.
+        "candidates": q_candidates,
+        "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
         # is untouched this round: the r2-tail/dedup/ANN/stream/multimodal
         # surface verified by r3's window (media_*, ingest_resume,
@@ -2219,6 +2261,9 @@ _NORM_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from refined_spark.operators import decontam as _decontam
+    from refined_spark.operators import pii as _pii
+
     docs_copies = (
         "(select doc_id, text from documents "
         "union all select doc_id + 1000000 as doc_id, text from documents)"
@@ -3031,6 +3076,33 @@ def oracle_sql() -> dict[str, str]:
             from toks join lm l using (token), tot
             group by doc_id
             order by doc_id
+        """,
+        "pii_redact": f"""
+            -- replay GENERATED from operators/pii.py PATTERNS (the
+            -- same list the Spark plan compiles): sequential counts +
+            -- nested-replace scrub, non-overlapping left-to-right in
+            -- both engines
+            with c as (
+              select doc_id, {_pii.count_sql(0)}, {_pii.count_sql(1)},
+                     {_pii.count_sql(2)},
+                     {_pii.redacted_sql('text')} as redacted
+              from read_parquet('{_fxp("pii_docs")}')
+            )
+            select doc_id, n_email, n_ip, n_phone,
+                   (n_email > 0 or n_ip > 0 or n_phone > 0) as has_pii,
+                   redacted
+            from c order by doc_id
+        """,
+        "decontam": f"""
+            -- identical normalization via the shared ngram_sql emitter
+            with dg as ({_decontam.ngram_sql(
+                f"read_parquet('{_fxp('documents')}')", "url", 8)}),
+                 bg as (select distinct gram from ({_decontam.ngram_sql(
+                f"read_parquet('{_fxp('benchmark')}')", "bench_id", 8)}))
+            select id as url,
+                   cast(count(distinct gram) as bigint) as n_hit_grams
+            from dg join bg using (gram)
+            group by id order by url
         """,
         "pr_curve": f"""
             with gold as (

@@ -1105,6 +1105,99 @@ def gen_bpe(out_dir: str, world: dict, n_docs: int) -> None:
            ]))
 
 
+# --------------------------------------------------------------------------
+# PII corpus (operators/pii.py) + decontamination benchmark
+# --------------------------------------------------------------------------
+
+def gen_pii_docs(out_dir: str, n_docs: int) -> None:
+    """Web-text corpus laced with deterministic PII (operators/pii.py):
+    every detector class appears alone and in combination, plus the
+    edge shapes the patterns must decide — an email whose domain is
+    IP-shaped (sequential semantics: the email stage eats it, n_ip=0
+    for that doc), a 4-digit-octet non-IP that the word boundary
+    rejects, both phone separator forms, PII at string start/end, and
+    clean docs (has_pii false is non-vacuous).
+    Columns: (doc_id, text)."""
+    import os
+
+    rows = []
+    for i in range(n_docs):
+        body = " ".join(vocab.FILLER[(i * 5 + w) % len(vocab.FILLER)]
+                        for w in range(10))
+        kind = i % 7
+        if kind == 0:
+            text = body  # clean
+        elif kind == 1:
+            text = (f"{body[:40]} contact user{i}.name+tag@mail-{i % 9}"
+                    f".example.org {body[40:]}")
+        elif kind == 2:
+            text = (f"ops{i}@corp.example.net said {body} "
+                    f"call 555-{100 + i % 900:03d}-{1000 + i:04d}")
+        elif kind == 3:
+            text = f"{body} (host 10.{i % 256}.{(i * 7) % 256}.{i % 250})."
+        elif kind == 4:
+            # IP-shaped domain: the email stage redacts the whole
+            # address, so the ip stage sees nothing (n_ip must be 0)
+            text = f"{body} admin{i}@10.0.{i % 200}.9.net writes"
+        elif kind == 5:
+            # boundary-defeated fake IP + space-separated phone
+            text = (f"v999.999.999.9999 of {body} "
+                    f"dial 555 {200 + i % 700:03d} {2000 + i:04d} now")
+        else:
+            text = (f"a{i}@x.io b{i}@y.co {body} 555-3{i % 10:01d}1-"
+                    f"{3000 + i:04d} at 192.168.{i % 200}.{i % 9}")
+        rows.append(dict(doc_id=i, text=text))
+    _write(os.path.join(out_dir, "pii_docs.parquet"), rows,
+           pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+
+
+def gen_benchmark(out_dir: str, n_bench: int, n: int = 8) -> None:
+    """Eval-benchmark table for operators/decontam.py, built FROM the
+    fixture crawl corpus so contamination is exact by construction:
+    3 of every 4 rows embed a ``n+2``-token window copied from a
+    fixture document's NORMALIZED token stream (the window survives
+    the operator's lowercase-[a-z0-9]+ normalization verbatim, so the
+    doc MUST hit on 3 overlapping n-grams), wrapped in benchmark-only
+    ``bq<k>`` framing tokens that cannot create accidental corpus
+    n-grams; every 4th row is synthetic-token-only (hits nothing —
+    clean-benchmark non-vacuity). Row pairs k and k+1 with k%8==1
+    share the same window (bench-side DISTINCT non-vacuity), and
+    source docs are drawn from the sorted-url corpus at a stride, so
+    several docs are hit by multiple rows while most of the corpus
+    stays clean. Columns: (bench_id, task, text)."""
+    import os
+    import re as relib
+
+    import pyarrow.parquet as pq
+
+    docs = sorted(pq.read_table(
+        os.path.join(out_dir, "documents.parquet"),
+        columns=["url", "text"]).to_pylist(), key=lambda d: d["url"])
+    rng = np.random.Generator(np.random.PCG64(20260820))
+    rows = []
+    prev_window = None
+    for k in range(n_bench):
+        if k % 4 == 3:
+            text = " ".join(f"zz{k}q{j}" for j in range(n + 4))
+        else:
+            if k % 8 == 2 and prev_window is not None:
+                window = prev_window  # duplicate of row k-1's window
+            else:
+                d = docs[(k * 17) % len(docs)]
+                toks = relib.findall(r"[a-z0-9]+", d["text"].lower())
+                while len(toks) < n + 2:  # skip short docs
+                    d = docs[(int(rng.integers(0, len(docs))))]
+                    toks = relib.findall(r"[a-z0-9]+", d["text"].lower())
+                s = int(rng.integers(0, len(toks) - (n + 2) + 1))
+                window = " ".join(toks[s:s + n + 2])
+            prev_window = window
+            text = f"bq{k}intro question {window} bq{k}outro answer"
+        rows.append(dict(bench_id=k, task=f"task{k % 3}", text=text))
+    _write(os.path.join(out_dir, "benchmark.parquet"), rows,
+           pa.schema([("bench_id", pa.int64()), ("task", pa.string()),
+                      ("text", pa.string())]))
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -1124,3 +1217,6 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     # needs gen_wiki_pages' redirects/title_qcode/deny + the core
     # documents/gold_spans/entity parquet already on disk
     gen_el_datasets(out_dir)
+    gen_pii_docs(out_dir, {"t1": 28}.get(tier, 140))
+    # needs the core documents parquet already on disk
+    gen_benchmark(out_dir, {"t1": 12}.get(tier, 48))

@@ -46,7 +46,7 @@ FIXTURE_VERSION = "v5"  # v5: documents/gold_spans sharded into many files
 # Versioned SEPARATELY so adding one never invalidates the expensive bench
 # corpus: extras are only generated for oracle tiers (t1/t2) and regenerate
 # independently of the core stamp.
-EXTRAS_VERSION = "x16"  # x16 adds the round-4 worded date shapes
+EXTRAS_VERSION = "x17"  # x17 adds the PII corpus + decontam benchmark
                         # ('21st of February 2009', '21 February',
                         # 'February of 2009', '2009 February') to the
                         # date_spans sampler; x15 added the AIDA/standard
