@@ -86,6 +86,36 @@ def run_headline_queries() -> dict[str, float]:
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite").save()
             out[name] = round(time.time() - t0, 3)
+
+        # round-4 training-data ops over the same corpus (these gates'
+        # correctness fixtures are oracle-tier; the THROUGHPUT number
+        # belongs on the sf corpus like every other headline): PII scrub
+        # (pure-codegen scan), and decontamination with the benchmark
+        # side played by a deterministic 2% hash-sample of the corpus
+        # itself (the md5-predicate sampler — map-only), n=8
+        def _pii_scrub():
+            from refined_spark.operators.pii import with_pii
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+            return with_pii(docs)
+
+        def _decontam():
+            from refined_spark.operators.decontam import (
+                benchmark_ngrams, contaminated_ids)
+            from refined_spark.operators.sampling import (
+                deterministic_sample)
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+            bench = deterministic_sample(docs, 0.02, key_col="doc_id",
+                                         salt="bench_decontam")
+            return contaminated_ids(docs, benchmark_ngrams(bench, 8), 8)
+
+        for name, make in [("pii_scrub", _pii_scrub),
+                           ("decontam", _decontam)]:
+            make().write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            make().write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
     finally:
         spark.stop()
     return out
