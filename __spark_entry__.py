@@ -1160,6 +1160,48 @@ def q_decontam(spark, sf):
             .orderBy("url"))
 
 
+def q_line_dedup(spark, sf):
+    """CCNet paragraph/line-level exact dedup (operators/lines.py):
+    each distinct NORMALIZED line (lowercase, digits→0, punctuation
+    stripped — the shared _NORM_RULES list both engines compile)
+    survives only at its first (doc_id, pos) occurrence corpus-wide;
+    empty-normalization lines (blanks, dividers) are pass-through and
+    never keys (the LSH zero-signature lesson applied at design time).
+    The winner election shuffles md5-key-width rows only; document
+    text crosses exactly the one reassembly join. Page 7 (entirely
+    copies of earlier pages) must vanish; digit-varied copyright years
+    and case-varied banners must fold to one survivor each."""
+    from refined_spark.operators.lines import line_dedup_keep_first
+
+    pages = _fx(spark, sf, "wet_pages")
+    return (line_dedup_keep_first(pages)
+            .select("doc_id", "url", "text",
+                    F.col("n_lines_kept").cast("long")
+                    .alias("n_lines_kept"),
+                    F.col("n_lines_dropped").cast("long")
+                    .alias("n_lines_dropped"))
+            .orderBy("doc_id"))
+
+
+def q_line_boilerplate(spark, sf):
+    """Boilerplate-line cut (operators/lines.py): normalized lines
+    occurring in >= 3 DISTINCT documents (cookie banners, nav, year-
+    folded copyright footers) are dropped from EVERY document via a
+    broadcast key-width anti join; the 2-doc cross-page duplicate line
+    is PROTECTED (threshold clause non-vacuous) and page 11 (pure
+    boilerplate) vanishes."""
+    from refined_spark.operators.lines import drop_boilerplate_lines
+
+    pages = _fx(spark, sf, "wet_pages")
+    return (drop_boilerplate_lines(pages, min_docs=3)
+            .select("doc_id", "url", "text",
+                    F.col("n_lines_kept").cast("long")
+                    .alias("n_lines_kept"),
+                    F.col("n_lines_dropped").cast("long")
+                    .alias("n_lines_dropped"))
+            .orderBy("doc_id"))
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1509,6 +1551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates/class_check gave up their spare slots to the two
         # new-this-round entries (their modules are untouched since
         # their r3 green rows); entity_index likewise for span_correct.
+        # --- R5 WINDOW HEAD: added late in r4 AFTER the window filled
+        #     (displacing a rotated r2-vintage entry would break the
+        #     <=2-rounds-old rule the window exists for); local-sweep
+        #     green at r4 HEAD, first driver row lands in r5 ---
+        "line_dedup": q_line_dedup,
+        "line_boilerplate": q_line_boilerplate,
         "candidates": q_candidates,
         "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
@@ -1951,6 +1999,77 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+def _wet_lines_cte() -> str:
+    """Shared DuckDB CTEs for the line-dedup/boilerplate oracles:
+    explode wet_pages to (doc_id, url, pos, line, n_lines) and key each
+    line with md5(normalized) under the IDENTICAL rule list the Spark
+    plan compiles (lines.norm_line_sql emits it — the engines cannot
+    drift rule-by-rule). Keys are NULL for empty-normalization lines
+    (pass-through contract)."""
+    from refined_spark.operators.lines import norm_line_sql
+
+    norm = norm_line_sql("line")
+    return f"""
+        d as (
+          select doc_id, url, text,
+                 string_split(text, chr(10)) as parts
+          from read_parquet('{_fxp("wet_pages")}')
+        ), l as (
+          select doc_id, url, i - 1 as pos, parts[i] as line,
+                 len(parts) as n_lines
+          from d, unnest(generate_series(1, len(parts))) as t(i)
+        ), k as (
+          select *, case when {norm} <> '' then md5({norm}) end as key
+          from l
+        )"""
+
+
+_WET_REBUILD = """
+        select doc_id, url,
+               coalesce(string_agg(line, chr(10) order by pos), '')
+                 as text,
+               cast(count(*) as bigint) as n_lines_kept,
+               cast(n_lines - count(*) as bigint) as n_lines_dropped
+        from kept
+        group by doc_id, url, n_lines
+        order by doc_id
+"""
+
+
+def _line_dedup_oracle_sql() -> str:
+    """Keep-first replay: winner per key = row_number() = 1 under the
+    same (doc_id, pos) total order; key-NULL lines pass through; docs
+    with zero kept lines vanish via the inner group-by."""
+    return f"""
+        with {_wet_lines_cte()}, w as (
+          select *, row_number() over (partition by key
+                     order by doc_id, pos) as rn
+          from k where key is not null
+        ), kept as (
+          select doc_id, url, pos, line, n_lines from w where rn = 1
+          union all
+          select doc_id, url, pos, line, n_lines from k
+          where key is null
+        )
+        {_WET_REBUILD}
+    """
+
+
+def _line_boilerplate_oracle_sql() -> str:
+    """Boilerplate-cut replay: condemned = keys in >= 3 distinct docs;
+    kept = pass-through lines plus keys outside the condemned set."""
+    return f"""
+        with {_wet_lines_cte()}, bad as (
+          select key from k where key is not null
+          group by key having count(distinct doc_id) >= 3
+        ), kept as (
+          select doc_id, url, pos, line, n_lines from k
+          where key is null or key not in (select key from bad)
+        )
+        {_WET_REBUILD}
     """
 
 
@@ -3104,6 +3223,8 @@ def oracle_sql() -> dict[str, str]:
             from dg join bg using (gram)
             group by id order by url
         """,
+        "line_dedup": _line_dedup_oracle_sql(),
+        "line_boilerplate": _line_boilerplate_oracle_sql(),
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode

@@ -1198,6 +1198,86 @@ def gen_benchmark(out_dir: str, n_bench: int, n: int = 8) -> None:
                       ("text", pa.string())]))
 
 
+def gen_wet_pages(out_dir: str, n_pages: int) -> None:
+    """Multi-line web pages for operators/lines.py (line/paragraph
+    dedup + boilerplate cut). Deterministic (pure function of the page
+    index, no RNG). Every decision clause of both operators is
+    non-vacuous by construction:
+
+    - BOILERPLATE lines on most pages, with per-page DIGIT variation
+      (copyright years) and CASE variation (shouting banners) so the
+      CCNet normalization folding is load-bearing, not decorative;
+    - unique content lines built from letter-coded page ids + FILLER
+      words (letters only — digit folding cannot accidentally collide
+      them);
+    - a CROSS-DOC duplicated content line (page i copies one line from
+      page i-1 when i % 3 == 1): keep-first keeps the earlier page's,
+      and at min_docs=3 the 2-doc line is PROTECTED from the
+      boilerplate cut (the threshold clause);
+    - a WITHIN-DOC repeat (i % 5 == 2 repeats its first content line);
+    - pass-through lines that normalize to empty: blank lines on every
+      page, '* * *' dividers (i % 4 == 3), whitespace-only (i % 6 == 5)
+      — none may ever become a dedup key or a boilerplate count;
+    - page 7 is ENTIRELY copies of pages 0-2's content lines (no
+      blanks) -> keep-first drops the whole page;
+    - page 11 is ENTIRELY boilerplate (no blanks) -> the boilerplate
+      cut drops the whole page.
+
+    Columns: (doc_id, url, text)."""
+    import os
+
+    def alpha(i: int) -> str:
+        # letters-only page code ('a', 'b', ..., 'ba', ...) — immune to
+        # the digit-folding normalization rule
+        s = ""
+        i += 1
+        while i:
+            i, d = divmod(i - 1, 26)
+            s = chr(97 + d) + s
+        return s
+
+    def content(i: int, j: int) -> str:
+        ws = " ".join(vocab.FILLER[(i * 7 + j * 3 + w) % len(vocab.FILLER)]
+                      for w in range(6))
+        return f"section {alpha(i)} {ws} part {alpha(j)}"
+
+    def boiler(i: int, b: int) -> str:
+        base = [
+            f"Copyright {2015 + i % 9} Example Corp",   # digits fold
+            "Subscribe to our newsletter today",
+            "Accept all cookies to continue",
+            "Home | About | Contact",
+        ][b % 4]
+        if b % 4 == 1 and i % 2 == 1:
+            return base.upper()                          # case folds
+        return base
+
+    rows = []
+    for i in range(n_pages):
+        if i == 7:
+            lines = [content(0, 0), content(1, 0), content(2, 1)]
+        elif i == 11:
+            lines = [boiler(11, 0), boiler(11, 1), boiler(11, 2)]
+        else:
+            lines = [boiler(i, i % 4), content(i, 0), ""]
+            if i % 3 == 1 and i > 0:
+                lines.append(content(i - 1, 0))          # cross-doc dup
+            lines.append(content(i, 1))
+            if i % 4 == 3:
+                lines.append("* * *")                    # punct-only
+            if i % 5 == 2:
+                lines.append(content(i, 0))              # within-doc dup
+            if i % 6 == 5:
+                lines.append("   ")                      # spaces-only
+            lines.append(boiler(i, 1 + i % 3))
+        rows.append(dict(doc_id=i,
+                         url=f"https://site{i % 40}.example.com/p/{i}",
+                         text="\n".join(lines)))
+    _write(os.path.join(out_dir, "wet_pages.parquet"), rows,
+           pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                      ("text", pa.string())]))
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -1220,3 +1300,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_pii_docs(out_dir, {"t1": 28}.get(tier, 140))
     # needs the core documents parquet already on disk
     gen_benchmark(out_dir, {"t1": 12}.get(tier, 48))
+    gen_wet_pages(out_dir, {"t1": 36}.get(tier, 150))
