@@ -1202,6 +1202,23 @@ def q_line_boilerplate(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_seq_pack(spark, sf):
+    """Sequence packing (operators/packing.py): the Megatron/GPT
+    training-example assembly — documents hash-shard (md5-hex instr
+    arithmetic both engines evaluate identically), order by id within
+    each shard, take running-sum token offsets (the per-shard window is
+    the job's one corpus-scale wide op and carries key-width rows
+    only), and fan out to the fixed-length sequences they intersect;
+    each shard's partial tail sequence drops. Manifest rows are
+    integer-only, so the DuckDB replay is hash-exact. Token counts use
+    the engine-wide textstats convention."""
+    from refined_spark.operators.packing import pack_manifest
+
+    docs = _t(spark, sf, "documents")
+    return (pack_manifest(docs, seq_len=512, n_shards=4)
+            .orderBy("shard", "seq_id", "pos_in_seq"))
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1557,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     green at r4 HEAD, first driver row lands in r5 ---
         "line_dedup": q_line_dedup,
         "line_boilerplate": q_line_boilerplate,
+        "seq_pack": q_seq_pack,
         "candidates": q_candidates,
         "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
@@ -2070,6 +2088,56 @@ def _line_boilerplate_oracle_sql() -> str:
           where key is null or key not in (select key from bad)
         )
         {_WET_REBUILD}
+    """
+
+
+def _seq_pack_oracle_sql() -> str:
+    """Packing-manifest replay: shard/token-count expressions are
+    EMITTED by the operator module itself (shard_sql/token_count_sql —
+    same hex alphabet, same fold, same regex), so the engines cannot
+    drift; the running sum casts to bigint (DuckDB window sum() yields
+    HUGEINT -> float64 in pandas otherwise), and the chunk fan-out is
+    the same lateral generate_series the wet-lines oracle uses."""
+    from refined_spark.operators.packing import (shard_sql,
+                                                 token_count_sql)
+
+    L = 512
+    return f"""
+        with base as (
+          select doc_id, {token_count_sql('text')} as n_tok,
+                 {shard_sql('doc_id', 4)} as shard
+          from documents
+        ), nz as (
+          select * from base where n_tok > 0
+        ), offs as (
+          select *, cast(sum(n_tok) over (partition by shard
+                     order by doc_id) as bigint) - n_tok as tstart
+          from nz
+        ), tot as (
+          select shard,
+                 cast(floor(sum(n_tok) / {L}.0) as bigint) as n_full
+          from nz group by shard
+        ), fan as (
+          select o.*, s.seq_id
+          from offs o
+               join tot t using (shard),
+               unnest(generate_series(
+                 cast(floor(o.tstart / {L}.0) as bigint),
+                 cast(floor((o.tstart + o.n_tok - 1) / {L}.0)
+                      as bigint))) as s(seq_id)
+          where s.seq_id < t.n_full
+        )
+        select shard, cast(seq_id as bigint) as seq_id,
+               cast(greatest(seq_id * {L}, tstart) - seq_id * {L}
+                    as int) as pos_in_seq,
+               doc_id,
+               cast(greatest(seq_id * {L}, tstart) - tstart
+                    as bigint) as doc_offset,
+               cast(least((seq_id + 1) * {L}, tstart + n_tok)
+                    - greatest(seq_id * {L}, tstart)
+                    as int) as n_slice_tokens
+        from fan
+        order by shard, seq_id, pos_in_seq
     """
 
 
@@ -3225,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": _line_dedup_oracle_sql(),
         "line_boilerplate": _line_boilerplate_oracle_sql(),
+        "seq_pack": _seq_pack_oracle_sql(),
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode
