@@ -110,8 +110,27 @@ def run_headline_queries() -> dict[str, float]:
                                          salt="bench_decontam")
             return contaminated_ids(docs, benchmark_ngrams(bench, 8), 8)
 
+        # line-level exact dedup (the corpus is one line per doc at the
+        # sf tiers, so this measures the keying/election/reassembly
+        # physics at 4.8M lines) and sequence packing at production
+        # shape (seq_len=2048, one shard per core)
+        def _line_dedup():
+            from refined_spark.operators.lines import (
+                line_dedup_keep_first)
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+            return line_dedup_keep_first(docs)
+
+        def _seq_pack():
+            from refined_spark.operators.packing import pack_manifest
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+            return pack_manifest(docs, seq_len=2048, n_shards=CPUS)
+
         for name, make in [("pii_scrub", _pii_scrub),
-                           ("decontam", _decontam)]:
+                           ("decontam", _decontam),
+                           ("line_dedup", _line_dedup),
+                           ("seq_pack", _seq_pack)]:
             make().write.format("noop").mode("overwrite").save()
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
