@@ -1219,6 +1219,26 @@ def q_seq_pack(spark, sf):
             .orderBy("shard", "seq_id", "pos_in_seq"))
 
 
+def q_url_block(spark, sf):
+    """URL/domain blocklist cut (operators/urlfilter.py): registered
+    domains derive from the canonical host via the closed public-suffix
+    rule (MULTI_SUFFIXES is the single constant both engines compile),
+    and the listed domains drop with every subdomain via a broadcast
+    anti join. Non-vacuous: example1/example4.org sites vanish through
+    their alias-decorated urls; the listed FULL HOST entry must never
+    match (matching is registered-domain-only); the rest survive with
+    their extracted domain in the output."""
+    from refined_spark.operators.urlfilter import (
+        drop_blocked_domains, with_registered_domain)
+
+    crawl = _fx(spark, sf, "crawl_snapshots")
+    bl = _fx(spark, sf, "domain_blocklist")
+    kept = drop_blocked_domains(crawl, bl)
+    return (with_registered_domain(kept)
+            .select("url", "warc_ts", "lang", "domain")
+            .orderBy("url", "warc_ts"))
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1575,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_boilerplate": q_line_boilerplate,
         "seq_pack": q_seq_pack,
+        "url_block": q_url_block,
         "candidates": q_candidates,
         "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
@@ -2017,6 +2038,26 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+def _url_block_oracle_sql() -> str:
+    """Blocklist replay: the registered-domain expression is EMITTED by
+    the operator module (registered_domain_sql — same suffix constant,
+    same host atoms) so the engines cannot drift; the cut is a plain
+    NOT IN against the list."""
+    from refined_spark.operators.urlfilter import registered_domain_sql
+
+    return f"""
+        with d as (
+          select url, warc_ts, lang,
+                 {registered_domain_sql('url')} as domain
+          from read_parquet('{_fxp("crawl_snapshots")}')
+        )
+        select url, warc_ts, lang, domain from d
+        where domain not in (
+          select domain from read_parquet('{_fxp("domain_blocklist")}'))
+        order by url, warc_ts
     """
 
 
@@ -3294,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "line_boilerplate": _line_boilerplate_oracle_sql(),
         "seq_pack": _seq_pack_oracle_sql(),
+        "url_block": _url_block_oracle_sql(),
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode

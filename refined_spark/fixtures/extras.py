@@ -1278,6 +1278,36 @@ def gen_wet_pages(out_dir: str, n_pages: int) -> None:
                       ("text", pa.string())]))
 
 
+def gen_domain_blocklist(out_dir: str) -> None:
+    """UT1-style domain blocklist for operators/urlfilter.py, over the
+    crawl_snapshots corpus (hosts ``siteNNNN.example{0..6}.org``).
+    Non-vacuous by construction:
+
+    - two REGISTERED domains that match (every siteNNNN subdomain of
+      example1/example4 inherits the block — the subdomain-inheritance
+      clause);
+    - a listed FULL HOST (``site0002.example2.org``) that must NEVER
+      match — matching is on the registered domain, and a host is not
+      one;
+    - an unmatched flat domain and an unmatched multi-suffix domain
+      (``co.uk`` entries exercise the suffix rule in pytest; no crawl
+      host carries one).
+
+    Columns: (domain, category)."""
+    import os
+
+    rows = [
+        dict(domain="example1.org", category="ads"),
+        dict(domain="example4.org", category="adult"),
+        dict(domain="site0002.example2.org", category="malware"),
+        dict(domain="tracker.net", category="tracker"),
+        dict(domain="shop.co.uk", category="spam"),
+    ]
+    _write(os.path.join(out_dir, "domain_blocklist.parquet"), rows,
+           pa.schema([("domain", pa.string()),
+                      ("category", pa.string())]))
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -1301,3 +1331,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     # needs the core documents parquet already on disk
     gen_benchmark(out_dir, {"t1": 12}.get(tier, 48))
     gen_wet_pages(out_dir, {"t1": 36}.get(tier, 150))
+    gen_domain_blocklist(out_dir)
