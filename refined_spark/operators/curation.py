@@ -15,11 +15,17 @@ model-based quality cut → reproducible sampling):
 4. **Stratified hash sample** (`sampling.stratified_sample`) — per-lang
    corpus mixing, bit-reproducible.
 
-Content near-dup removal (`dedup.drop_near_dups` over MinHash-LSH →
-Jaccard-verified pair edges) slots between 3 and 4 in production; it is
-exercised in pytest composition (the driver-oracled entry keeps to the
-stages whose DuckDB replay is exact rather than
-probabilistic-structure-compared).
+The full published order has three more slots, each an audited
+operator of this package with its own driver gate: the URL/domain
+blocklist cut (`urlfilter.drop_blocked_domains`) runs BEFORE stage 1
+(list-based, needs only the url); line-level dedup + boilerplate
+removal (`lines`) between 1 and 2 (page text must be final before
+host/LM statistics); content near-dup removal (`dedup.drop_near_dups`
+over MinHash-LSH → Jaccard-verified pair edges) between 3 and 4.
+Near-dup is exercised in pytest composition (the driver-oracled entry
+keeps to the stages whose DuckDB replay is exact rather than
+probabilistic-structure-compared); the terminal step after curation is
+sequence packing (`packing.pack_manifest`).
 
 Scale shape: each stage is the already-audited plan of its operator —
 one map-side-combining agg per aggregation stage, anti/semi joins on
