@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) for the round-4 web-pipeline
+operators: invariants that must hold for ARBITRARY corpora, not just
+the designed fixtures.
+
+Spark-backed properties keep ``max_examples`` small (each example is a
+real job on the shared session); the registered-domain property runs
+engine-free against an independent Python replay of the closed rule,
+checked through DuckDB on the EMITTED oracle SQL — so a drift in the
+emitter itself (not just the Spark side) is caught.
+"""
+
+import re
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from refined_spark.operators.packing import pack_manifest
+from refined_spark.operators.urlfilter import (MULTI_SUFFIXES,
+                                               registered_domain_sql)
+
+# ---------------------------------------------------------------- urlfilter
+
+_LABEL = st.from_regex(r"[a-z][a-z0-9-]{0,6}", fullmatch=True).filter(
+    lambda s: not s.endswith("-"))
+_HOSTS = st.one_of(
+    st.lists(_LABEL, min_size=1, max_size=4).map(".".join),
+    st.lists(_LABEL, min_size=1, max_size=2).map(
+        lambda ls: ".".join(ls + ["co", "uk"])),
+    st.tuples(st.integers(0, 255), st.integers(0, 255),
+              st.integers(0, 255), st.integers(0, 255)).map(
+        lambda t: ".".join(map(str, t))),
+)
+
+
+def _registered_domain_py(host: str) -> str:
+    """Independent Python replay of the closed rule (module docstring
+    of operators/urlfilter.py) — deliberately NOT sharing code with the
+    implementation."""
+    if re.fullmatch(r"[0-9.]+", host):
+        return host
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if ".".join(parts[-2:]) in MULTI_SUFFIXES:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+@given(st.lists(_HOSTS, min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_registered_domain_sql_matches_python_rule(hosts):
+    con = duckdb.connect()
+    con.execute("create table t(url varchar)")
+    con.executemany("insert into t values (?)",
+                    [(f"https://{h}/p",) for h in hosts])
+    got = [r[0] for r in con.execute(
+        f"select {registered_domain_sql('url')} from t").fetchall()]
+    assert got == [_registered_domain_py(h) for h in hosts]
+
+
+# ------------------------------------------------------------------ packing
+
+_CORPUS = st.lists(st.integers(0, 40), min_size=1, max_size=25)
+
+
+@given(_CORPUS, st.integers(1, 9), st.integers(1, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_manifest_invariants(spark, n_toks, seq_len, n_shards):
+    """For any doc-length profile: every kept sequence holds exactly
+    seq_len tokens tiling contiguously from 0; token conservation
+    (manifest total == sum of per-shard floor-truncated stream
+    lengths); no doc contributes beyond its own length."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n
+         in enumerate(n_toks)], "doc_id long, text string")
+    pre = docs.withColumn("n_tokens", F.size(F.split("text", " ", -1)))
+    pre = pre.withColumn("n_tokens", F.when(
+        F.col("text") == "", 0).otherwise(F.col("n_tokens")))
+    m = pack_manifest(pre, seq_len=seq_len, n_shards=n_shards,
+                      n_tokens_col="n_tokens").collect()
+    by_seq = {}
+    for r in m:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for rows in by_seq.values():
+        rows.sort(key=lambda r: r.pos_in_seq)
+        at = 0
+        for r in rows:
+            assert r.pos_in_seq == at
+            at += r.n_slice_tokens
+        assert at == seq_len
+    # per-doc contributions cover a prefix-free partition of the doc
+    per_doc = {}
+    for r in m:
+        per_doc.setdefault(r.doc_id, []).append(
+            (r.doc_offset, r.n_slice_tokens))
+    for d, slices in per_doc.items():
+        slices.sort()
+        end = slices[-1][0] + slices[-1][1]
+        assert end <= n_toks[d]
+        # slices are contiguous from 0 (a doc enters the stream whole;
+        # only its TAIL can be cut, by the shard's partial-seq drop)
+        at = 0
+        for off, ln in slices:
+            assert off == at
+            at += ln
+
+
+# -------------------------------------------------------------------- lines
+
+_LINE = st.text(alphabet="ab A.2-", min_size=0, max_size=8)
+
+
+@given(st.lists(st.lists(_LINE, min_size=1, max_size=5),
+                min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_idempotent_and_monotone(spark, corpora):
+    """Keep-first line dedup is idempotent (a deduped corpus has no
+    cross-doc duplicate keys left) and never grows a document."""
+    from refined_spark.operators.lines import line_dedup_keep_first
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(corpora)],
+        "doc_id long, text string")
+    once = line_dedup_keep_first(docs)
+    twice = line_dedup_keep_first(
+        once.select("doc_id", "text"))
+    a = {(r.doc_id, r.text) for r in once.select("doc_id", "text")
+         .collect()}
+    b = {(r.doc_id, r.text) for r in twice.select("doc_id", "text")
+         .collect()}
+    assert a == b
+    kept = {r.doc_id: r.n_lines_kept for r in once.collect()}
+    for i, lines in enumerate(corpora):
+        if i in kept:
+            assert kept[i] <= len(lines)
