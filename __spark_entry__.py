@@ -1239,6 +1239,25 @@ def q_url_block(spark, sf):
             .orderBy("url", "warc_ts"))
 
 
+def q_bpe_train(spark, sf):
+    """Distributed BPE training (operators/bpe.py train_bpe_spark):
+    ONE corpus Arrow pass + word-count agg, then the merge loop over
+    the vocabulary-scale frame (per round: overlapping-pair count agg,
+    1-row argmax collect — the algorithm's inherent sequential
+    dependency — and a JVM fold rewrite). Must reproduce the fixture's
+    sequential train_bpe artifact bit-for-bit; 48 rounds suffice
+    because greedy merge selection is prefix-stable (the first k merges
+    do not depend on n_merges), so the oracle is the artifact's rank <
+    48 slice."""
+    from refined_spark.operators.bpe import train_bpe_spark
+
+    docs = _fx(spark, sf, "bpe_docs")
+    merges = train_bpe_spark(docs, 48)
+    return spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in enumerate(merges)],
+        "rank int, left string, right string").orderBy("rank")
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_boilerplate": q_line_boilerplate,
         "seq_pack": q_seq_pack,
         "url_block": q_url_block,
+        "bpe_train": q_bpe_train,
         "candidates": q_candidates,
         "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
@@ -3337,6 +3357,11 @@ def oracle_sql() -> dict[str, str]:
         "line_boilerplate": _line_boilerplate_oracle_sql(),
         "seq_pack": _seq_pack_oracle_sql(),
         "url_block": _url_block_oracle_sql(),
+        "bpe_train": f"""
+            select cast(rank as int) as rank, "left", "right"
+            from read_parquet('{_fxp("bpe_merges")}')
+            where rank < 48 order by rank
+        """,
         "pr_curve": f"""
             with gold as (
               select url, start, gold_qcode

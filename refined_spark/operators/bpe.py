@@ -286,3 +286,96 @@ def with_bpe_tokens(df: DataFrame, merges_path: str,
         return texts.map(lambda t: encode_text(t or "", ranks, ids))
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+# --------------------------------------------------------------------------
+# distributed training — the same algorithm as train_bpe, Spark-shaped
+# --------------------------------------------------------------------------
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the GPT-2 pre-tokenization + byte alphabet —
+    the ONE corpus-scale step of BPE training (fastBPE/HF train from
+    exactly this table). One Arrow crossing (pretokenize + map_word are
+    the module's shared Python atoms, so the distributed trainer cannot
+    drift from the sequential one at the word level), then one
+    map-side-combining count aggregation; the exchange carries
+    (word, partial-count) Zipf-vocabulary rows, never text."""
+
+    def gen(batches):
+        for pdf in batches:
+            words: list[str] = []
+            for text in pdf[text_col]:
+                for raw, _, _ in pretokenize(text or ""):
+                    w = map_word(raw)
+                    if w:
+                        words.append(w)
+            yield pd.DataFrame({"word": words})
+
+    return (docs.select(text_col).mapInPandas(gen, "word string")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def train_bpe_spark(docs: DataFrame, n_merges: int,
+                    text_col: str = "text",
+                    vocab_partitions: int = 1,
+                    checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Distributed BPE training, bit-identical to :func:`train_bpe`
+    (pytest pins equality; the `bpe_train` gate replays the fixture
+    artifact): same overlapping-pair counts, same (-freq, pair)
+    tie-break (Spark UTF8_BINARY string order == Python code-point
+    order: UTF-8 byte order is code-point-preserving), same greedy
+    left-to-right rewrite.
+
+    Scale shape: the corpus is touched ONCE (:func:`word_frequencies`);
+    the merge loop runs over the Zipf vocabulary-scale (symbols, freq)
+    frame — per round one pair-count aggregation (explode of adjacent
+    `arrays_zip` pairs, map-side combining), one 1-row argmax collect
+    (the algorithm's inherent sequential dependency — each merge
+    depends on the last), and one JVM fold rewrite. `localCheckpoint`
+    every ``checkpoint_every`` rounds truncates the iterative lineage
+    (the classic iterative-plan blowup otherwise re-analyzes k nested
+    HOFs at round k; a handful of nested folds between checkpoints is
+    cheap, a checkpoint job per round is not). ``vocab_partitions``
+    sizes the loop frame — 1 for fixture/test vocabularies, O(cores)
+    when the distinct-word table is genuinely large. Distinct words
+    stay distinct under merging (the symbol concatenation is
+    invariant), so the sequential algorithm's re-key step is a provable
+    no-op and is skipped."""
+    cur = (word_frequencies(docs, text_col)
+           .select(F.regexp_extract_all("word", F.lit("."), 0)
+                   .alias("syms"), "freq")
+           .coalesce(vocab_partitions)
+           .localCheckpoint())
+    last_ckpt = cur
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    for _ in range(n_merges):
+        z = F.arrays_zip(
+            F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+            F.slice("syms", 2, F.size("syms") - 1).alias("r"))
+        best = (cur.where(F.size("syms") > 1)
+                .select(F.explode(z).alias("p"), "freq")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), "l", "r").limit(1).collect())
+        if not best:
+            break
+        a, b = best[0].l, best[0].r
+        merges.append((a, b))
+        merged = a + b
+        rewrite = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == a) & (s == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(s))))
+        nxt = cur.withColumn("syms", rewrite)
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            nxt = nxt.localCheckpoint()
+            last_ckpt.unpersist()
+            last_ckpt = nxt
+            since_ckpt = 0
+        cur = nxt
+    last_ckpt.unpersist()
+    return merges

@@ -120,3 +120,49 @@ def test_roundtrip_property():
         assert all(t[1] in set(ids.values()) for t in toks)
 
     check()
+
+
+# --------------------------------------------------------------- distributed
+
+
+TRAIN_CORPORA = [
+    ["lo lo lo low lower"],
+    ["the cat sat on the mat isn't low", "ab ab ab aaab"],
+    ["naïve café rôle №7 — cost $84.50", "Łódź Œuvre straße"],
+]
+
+
+def test_train_bpe_spark_matches_sequential(spark):
+    """The distributed trainer is bit-identical to train_bpe — same
+    overlapping-pair counts, same (-freq, pair) tie-break, same greedy
+    rewrite — on corpora covering multi-byte chars and tie cases."""
+    from refined_spark.operators.bpe import train_bpe_spark
+
+    for texts in TRAIN_CORPORA:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        assert train_bpe_spark(docs, 25) == train_bpe(texts, 25)
+
+
+def test_train_bpe_spark_early_stop_and_checkpoint_cadence(spark):
+    from refined_spark.operators.bpe import train_bpe_spark
+
+    docs = spark.createDataFrame([(0, "ab ab")],
+                                 "doc_id long, text string")
+    # pairs exhaust after 2 merges; asking for 50 must stop, not spin
+    assert train_bpe_spark(docs, 50) == train_bpe(["ab ab"], 50)
+    # the lineage-truncation cadence is an execution detail only
+    docs2 = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string")
+    assert (train_bpe_spark(docs2, 12, checkpoint_every=1)
+            == train_bpe_spark(docs2, 12, checkpoint_every=50))
+
+
+def test_train_merge_prefix_stability():
+    """Greedy merge selection does not depend on n_merges — the first
+    k merges of a longer run equal a k-merge run. The bpe_train gate's
+    oracle (the 240-merge artifact sliced to rank < 48) rests on
+    exactly this property."""
+    texts = ["the cat sat on the mat isn't low", "lo lo low lower"]
+    assert train_bpe(texts, 60)[:20] == train_bpe(texts, 20)
