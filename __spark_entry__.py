@@ -1607,8 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates/class_check gave up their spare slots to the two
         # new-this-round entries (their modules are untouched since
         # their r3 green rows); entity_index likewise for span_correct.
-        # --- R5 WINDOW HEAD: the four late-r4 operators (lines.py,
-        #     packing.py, urlfilter.py), added AFTER the window filled
+        # --- R5 WINDOW HEAD: the five late-r4 operators (lines.py,
+        #     packing.py, urlfilter.py, bpe.train_bpe_spark), added
+        #     AFTER the window filled
         #     (displacing a rotated r2-vintage entry would break the
         #     <=2-rounds-old rule the window exists for); local-sweep
         #     green at r4 HEAD, first driver rows land in r5 ---
