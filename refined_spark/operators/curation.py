@@ -48,11 +48,35 @@ def curate_corpus(snapshots: DataFrame, *,
                   host_tau: float, host_min_docs: int,
                   lm_tau: float, rates: dict[str, float],
                   strata_col: str = "lang", url_col: str = "url",
-                  salt: str = "s0") -> DataFrame:
+                  salt: str = "s0",
+                  blocklist: DataFrame | None = None,
+                  line_dedup: bool = False,
+                  boilerplate_min_docs: int | None = None) -> DataFrame:
     """snapshots(url, warc_ts, text, <strata_col>, …) → the curated,
-    sampled corpus, input schema preserved. See module docstring for
-    the stage order and each stage's scale shape."""
+    sampled corpus, input schema preserved (modulo the line stages'
+    audit columns, which are dropped to keep the contract). See the
+    module docstring for the stage order and each stage's scale shape.
+
+    The optional stages default OFF so the driver-oracled entry keeps
+    to the exact-replay chain: ``blocklist`` switches on the
+    urlfilter.drop_blocked_domains cut before the collapse;
+    ``line_dedup`` / ``boilerplate_min_docs`` run the lines.py stages
+    between the collapse and the host cut (page text must be final
+    before host/LM statistics). The full chain is pytest-composed."""
+    if blocklist is not None:
+        from .urlfilter import drop_blocked_domains
+        snapshots = drop_blocked_domains(snapshots, blocklist,
+                                         url_col=url_col)
     pages = drop_stale_snapshots(snapshots, url_col=url_col)
+    if line_dedup or boilerplate_min_docs is not None:
+        from .lines import drop_boilerplate_lines, line_dedup_keep_first
+        cols = pages.columns
+        if line_dedup:
+            pages = line_dedup_keep_first(
+                pages, id_col=url_col).select(cols)
+        if boilerplate_min_docs is not None:
+            pages = drop_boilerplate_lines(
+                pages, boilerplate_min_docs, id_col=url_col).select(cols)
     kept_hosts = drop_low_quality_hosts(
         pages, host_tau, host_min_docs, url_col=url_col)
     lm = unigram_lm(kept_hosts)

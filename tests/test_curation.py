@@ -67,3 +67,54 @@ def test_near_dup_stage_composes(spark, fx_t1):
     from refined_spark.caching import release_caches
 
     release_caches()
+
+
+def test_full_published_order_composes(spark, fx_t1):
+    """The optional stages (blocklist before the collapse; line dedup +
+    boilerplate cut between collapse and host cut) each bite without
+    disturbing the core chain: blocked domains vanish entirely, a
+    planted cross-page boilerplate line disappears from surviving
+    texts, and with all flags OFF the result is byte-identical to the
+    default chain."""
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet"))
+    base = curate_corpus(snaps, **CFG)
+    base_rows = {(r.url, r.text) for r in
+                 base.select("url", "text").collect()}
+
+    # flags-off invariance (the driver-oracled entry's contract)
+    again = {(r.url, r.text) for r in
+             curate_corpus(snaps, blocklist=None, line_dedup=False,
+                           boilerplate_min_docs=None, **CFG)
+             .select("url", "text").collect()}
+    assert again == base_rows
+
+    # blocklist stage: condemn one registered domain present in the
+    # survivors, assert it vanishes and nothing else changes
+    from refined_spark.operators.urlfilter import registered_domain
+    doms = [r.d for r in base.select(
+        registered_domain(F.col("url")).alias("d")).distinct().collect()]
+    target = sorted(doms)[0]
+    bl = spark.createDataFrame([(target, "ads")],
+                               "domain string, category string")
+    cut = curate_corpus(snaps, blocklist=bl, **CFG)
+    cut_rows = {(r.url, r.text) for r in
+                cut.select("url", "text").collect()}
+    assert cut_rows < base_rows
+    assert all(d != target for d in
+               [r.d for r in cut.select(
+                   registered_domain(F.col("url")).alias("d"))
+                .collect()])
+
+    # line stages: plant a multi-line boilerplate banner across many
+    # pages; the boilerplate cut must strip it from every survivor and
+    # the rest of the chain must still run
+    planted = snaps.withColumn(
+        "text", F.concat(F.lit("Accept all cookies now\n"),
+                         F.col("text")))
+    lined = curate_corpus(planted, line_dedup=True,
+                          boilerplate_min_docs=3, **CFG)
+    texts = [r.text for r in lined.select("text").collect()]
+    assert texts and all("Accept all cookies now" not in t
+                         for t in texts)
+    assert lined.columns == snaps.columns
