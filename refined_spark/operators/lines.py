@@ -114,8 +114,14 @@ def _reassemble(docs: DataFrame, kept: DataFrame, id_col: str,
                 .agg(F.sort_array(F.collect_list("pos")).alias("_kept")))
     joined = docs.join(kept_arr, id_col, "left")
     parts = F.split(F.col(text_col), sep, -1)
+    # map over the KEPT positions and index into parts — O(kept) with
+    # O(1) element_at, vs the O(lines x kept) per-document cost of a
+    # filter-by-index + array_contains scan (quadratic on long pages).
+    # Positions come from posexplode of the SAME split, so indexing is
+    # in-bounds by construction; element_at stays loud (ANSI) if that
+    # contract is ever violated.
     rebuilt = F.array_join(
-        F.filter(parts, lambda _, i: F.array_contains("_kept", i)), sep)
+        F.transform("_kept", lambda i: F.element_at(parts, i + 1)), sep)
     out = (joined
            .withColumn("n_lines_kept",
                        F.coalesce(F.size("_kept"), F.lit(0)))
