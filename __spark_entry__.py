@@ -1258,6 +1258,24 @@ def q_bpe_train(spark, sf):
         "rank int, left string, right string").orderBy("rank")
 
 
+def q_seq_pack_mat(spark, sf):
+    """Materialized training sequences (packing.materialize_sequences):
+    the manifest joined to per-doc token arrays, slices cut JVM-side
+    and flattened in pos order — every output row is one ready
+    512-token training sequence. Hash-exact vs the DuckDB list-slice
+    replay (the concatenate-and-chunk identity as a driver gate)."""
+    from refined_spark.operators.packing import (TOKEN_PATTERN,
+                                                 materialize_sequences,
+                                                 pack_manifest)
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.regexp_extract_all(
+        "text", F.lit(TOKEN_PATTERN), F.lit(0)).alias("tokens"))
+    m = pack_manifest(docs, seq_len=512, n_shards=4)
+    return (materialize_sequences(m, toks)
+            .orderBy("shard", "seq_id"))
+
+
 _CURATE = dict(host_tau=0.61, host_min_docs=1, lm_tau=5.16,
                rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25})
 
@@ -1607,7 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates/class_check gave up their spare slots to the two
         # new-this-round entries (their modules are untouched since
         # their r3 green rows); entity_index likewise for span_correct.
-        # --- R5 WINDOW HEAD: the five late-r4 operators (lines.py,
+        # --- R5 WINDOW HEAD: the six late-r4 gates (lines.py,
         #     packing.py, urlfilter.py, bpe.train_bpe_spark), added
         #     AFTER the window filled
         #     (displacing a rotated r2-vintage entry would break the
@@ -1618,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "url_block": q_url_block,
         "bpe_train": q_bpe_train,
+        "seq_pack_mat": q_seq_pack_mat,
         "candidates": q_candidates,
         "class_check": q_class_check,
         # Everything below is green in CORRECTNESS_r03.json and its module
@@ -2154,8 +2173,9 @@ def _line_boilerplate_oracle_sql() -> str:
     """
 
 
-def _seq_pack_oracle_sql() -> str:
-    """Packing-manifest replay: shard/token-count expressions are
+def _seq_pack_fan_cte() -> str:
+    """Shared packing-replay CTEs (the manifest and materialization
+    oracles both end on `m`): shard/token-count expressions are
     EMITTED by the operator module itself (shard_sql/token_count_sql —
     same hex alphabet, same fold, same regex), so the engines cannot
     drift; the running sum casts to bigint (DuckDB window sum() yields
@@ -2166,7 +2186,7 @@ def _seq_pack_oracle_sql() -> str:
 
     L = 512
     return f"""
-        with base as (
+        base as (
           select doc_id, {token_count_sql('text')} as n_tok,
                  {shard_sql('doc_id', 4)} as shard
           from documents
@@ -2189,18 +2209,51 @@ def _seq_pack_oracle_sql() -> str:
                  cast(floor((o.tstart + o.n_tok - 1) / {L}.0)
                       as bigint))) as s(seq_id)
           where s.seq_id < t.n_full
-        )
-        select shard, cast(seq_id as bigint) as seq_id,
-               cast(greatest(seq_id * {L}, tstart) - seq_id * {L}
-                    as int) as pos_in_seq,
-               doc_id,
-               cast(greatest(seq_id * {L}, tstart) - tstart
-                    as bigint) as doc_offset,
-               cast(least((seq_id + 1) * {L}, tstart + n_tok)
-                    - greatest(seq_id * {L}, tstart)
-                    as int) as n_slice_tokens
-        from fan
+        ), m as (
+          select shard, cast(seq_id as bigint) as seq_id,
+                 cast(greatest(seq_id * {L}, tstart) - seq_id * {L}
+                      as int) as pos_in_seq,
+                 doc_id,
+                 cast(greatest(seq_id * {L}, tstart) - tstart
+                      as bigint) as doc_offset,
+                 cast(least((seq_id + 1) * {L}, tstart + n_tok)
+                      - greatest(seq_id * {L}, tstart)
+                      as int) as n_slice_tokens
+          from fan
+        )"""
+
+
+def _seq_pack_oracle_sql() -> str:
+    return f"""
+        with {_seq_pack_fan_cte()}
+        select * from m
         order by shard, seq_id, pos_in_seq
+    """
+
+
+def _seq_pack_mat_oracle_sql() -> str:
+    """Materialization replay: 1-based-inclusive list slicing of the
+    per-doc token arrays under the manifest, flattened in pos order —
+    the defining concatenate-and-chunk identity, now driver-gated
+    rather than pytest-only."""
+    from refined_spark.operators.packing import TOKEN_PATTERN
+
+    # DuckDB single-quoted literals are backslash-verbatim — the
+    # pattern goes in as-is (double-escaping would turn \\s into a
+    # literal-backslash class and admit spaces as tokens)
+    pat = TOKEN_PATTERN
+    return f"""
+        with {_seq_pack_fan_cte()}, tok as (
+          select doc_id, regexp_extract_all(text, '{pat}') as toks
+          from documents
+        )
+        select m.shard, m.seq_id,
+               flatten(list(tok.toks[m.doc_offset + 1 :
+                                     m.doc_offset + m.n_slice_tokens]
+                            order by m.pos_in_seq)) as tokens
+        from m join tok using (doc_id)
+        group by m.shard, m.seq_id
+        order by m.shard, m.seq_id
     """
 
 
@@ -3357,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "line_boilerplate": _line_boilerplate_oracle_sql(),
         "seq_pack": _seq_pack_oracle_sql(),
+        "seq_pack_mat": _seq_pack_mat_oracle_sql(),
         "url_block": _url_block_oracle_sql(),
         "bpe_train": f"""
             select cast(rank as int) as rank, "left", "right"
