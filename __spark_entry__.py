@@ -1221,17 +1221,21 @@ def q_seq_pack(spark, sf):
 
 def q_url_block(spark, sf):
     """URL/domain blocklist cut (operators/urlfilter.py): registered
-    domains derive from the canonical host via the closed public-suffix
-    rule (MULTI_SUFFIXES is the single constant both engines compile),
-    and the listed domains drop with every subdomain via a broadcast
-    anti join. Non-vacuous: example1/example4.org sites vanish through
-    their alias-decorated urls; the listed FULL HOST entry must never
-    match (matching is registered-domain-only); the rest survive with
-    their extracted domain in the output."""
+    domains derive from the canonical host via the PSL-snapshot
+    longest-match cascade (psl.SUFFIXES_2/SUFFIXES_3 — the constants
+    both engines compile), and the listed domains drop with every
+    subdomain via a broadcast anti join. Non-vacuous:
+    example1/example4.org sites vanish through their alias-decorated
+    urls; the listed FULL HOST entry must never match (matching is
+    registered-domain-only); the psl_crawl rows exercise suffixes
+    ABSENT from the r1-r4 closed set (com.sg, co.il, and a 4-label
+    registered domain under k12.ca.us) with unlisted controls; the
+    rest survive with their extracted domain in the output."""
     from refined_spark.operators.urlfilter import (
         drop_blocked_domains, with_registered_domain)
 
-    crawl = _fx(spark, sf, "crawl_snapshots")
+    crawl = (_fx(spark, sf, "crawl_snapshots")
+             .unionByName(_fx(spark, sf, "psl_crawl")))
     bl = _fx(spark, sf, "domain_blocklist")
     kept = drop_blocked_domains(crawl, bl)
     return (with_registered_domain(kept)
@@ -2084,20 +2088,26 @@ def _snapshot_latest_oracle_sql() -> str:
 
 def _url_block_oracle_sql() -> str:
     """Blocklist replay: the registered-domain expression is EMITTED by
-    the operator module (registered_domain_sql — same suffix constant,
-    same host atoms) so the engines cannot drift; the cut is a plain
-    NOT IN against the list."""
+    the operator module (registered_domain_sql — same PSL constants,
+    same host atoms) so the engines cannot drift; the cut is an
+    anti-join-shaped NOT EXISTS, which like Spark's left_anti KEEPS a
+    NULL-domain row (NOT IN would three-value-logic it away — the r4
+    ADVICE drift item)."""
     from refined_spark.operators.urlfilter import registered_domain_sql
 
     return f"""
         with d as (
           select url, warc_ts, lang,
                  {registered_domain_sql('url')} as domain
-          from read_parquet('{_fxp("crawl_snapshots")}')
+          from (select * from
+                  read_parquet('{_fxp("crawl_snapshots")}')
+                union all by name
+                select * from read_parquet('{_fxp("psl_crawl")}'))
         )
         select url, warc_ts, lang, domain from d
-        where domain not in (
-          select domain from read_parquet('{_fxp("domain_blocklist")}'))
+        where not exists (
+          select 1 from read_parquet('{_fxp("domain_blocklist")}') b
+          where b.domain = d.domain)
         order by url, warc_ts
     """
 

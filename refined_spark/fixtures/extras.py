@@ -1213,7 +1213,10 @@ def gen_wet_pages(out_dir: str, n_pages: int) -> None:
     - a CROSS-DOC duplicated content line (page i copies one line from
       page i-1 when i % 3 == 1): keep-first keeps the earlier page's,
       and at min_docs=3 the 2-doc line is PROTECTED from the
-      boilerplate cut (the threshold clause);
+      boilerplate cut (the threshold clause). Exception: content(0,0)
+      reaches THREE docs (page 0, page 1's copy, page 7's replay) and
+      is therefore condemned at min_docs=3 — the protection clause is
+      exercised by the later instances (content(3,0) onward);
     - a WITHIN-DOC repeat (i % 5 == 2 repeats its first content line);
     - pass-through lines that normalize to empty: blank lines on every
       page, '* * *' dividers (i % 4 == 3), whitespace-only (i % 6 == 5)
@@ -1280,8 +1283,8 @@ def gen_wet_pages(out_dir: str, n_pages: int) -> None:
 
 def gen_domain_blocklist(out_dir: str) -> None:
     """UT1-style domain blocklist for operators/urlfilter.py, over the
-    crawl_snapshots corpus (hosts ``siteNNNN.example{0..6}.org``).
-    Non-vacuous by construction:
+    crawl_snapshots corpus (hosts ``siteNNNN.example{0..6}.org``) plus
+    the psl_crawl PSL-suffix corpus. Non-vacuous by construction:
 
     - two REGISTERED domains that match (every siteNNNN subdomain of
       example1/example4 inherits the block — the subdomain-inheritance
@@ -1291,7 +1294,11 @@ def gen_domain_blocklist(out_dir: str) -> None:
       one;
     - an unmatched flat domain and an unmatched multi-suffix domain
       (``co.uk`` entries exercise the suffix rule in pytest; no crawl
-      host carries one).
+      host carries one);
+    - three PSL-snapshot registered domains over suffixes ABSENT from
+      the r1-r4 closed set (``com.sg``, ``co.il``) including a 4-label
+      registered domain under a 3-label suffix (``k12.ca.us``) — the
+      r5 gate extension the r4 verdict prescribed.
 
     Columns: (domain, category)."""
     import os
@@ -1302,10 +1309,61 @@ def gen_domain_blocklist(out_dir: str) -> None:
         dict(domain="site0002.example2.org", category="malware"),
         dict(domain="tracker.net", category="tracker"),
         dict(domain="shop.co.uk", category="spam"),
+        dict(domain="shop.com.sg", category="spam"),
+        dict(domain="news.co.il", category="ads"),
+        dict(domain="myschool.k12.ca.us", category="malware"),
     ]
     _write(os.path.join(out_dir, "domain_blocklist.parquet"), rows,
            pa.schema([("domain", pa.string()),
                       ("category", pa.string())]))
+
+
+def gen_psl_crawl(out_dir: str) -> None:
+    """Deterministic crawl rows whose hosts exercise the PSL snapshot
+    (operators/psl.py) end to end through the url_block gate —
+    same schema as crawl_snapshots (url, warc_ts, text, lang).
+
+    - ``shop.com.sg`` is LISTED: both its www. and promo. subdomains
+      must drop (2-label suffix absent from the old closed set);
+    - ``news.co.il`` is LISTED: its cdn. subdomain (with a default
+      port decoration) must drop;
+    - ``myschool.k12.ca.us`` is LISTED: its portal. subdomain and its
+      SHOUTED bare host must both drop (4-label registered domain
+      under a 3-label suffix — longest-match wins over ``ca.us``);
+    - ``site.com.ar`` / ``other.k12.ca.us`` / ``example.ac.uk`` are
+      unlisted controls over new and old suffixes — all keep;
+    - host == suffix (``k12.ca.us``) maps to itself and keeps.
+    """
+    import datetime
+    import os
+
+    def ts(i):
+        return (datetime.datetime(2025, 3, 1)
+                + datetime.timedelta(days=i, hours=i % 7))
+
+    urls = [
+        ("https://www.shop.com.sg/cart", "en"),
+        ("https://promo.shop.com.sg/sale?id=3", "en"),
+        ("http://cdn.news.co.il:80/breaking", "en"),
+        ("https://portal.myschool.k12.ca.us/home", "en"),
+        ("https://MYSCHOOL.K12.CA.US/x", "en"),
+        ("https://site.com.ar/p", "es"),
+        ("https://other.k12.ca.us/", "en"),
+        ("https://k12.ca.us/", "en"),
+        ("https://example.ac.uk/research", "en"),
+        ("https://uni.act.edu.au/courses", "en"),
+    ]
+    rows = [dict(url=u, warc_ts=ts(i),
+                 text=f"psl page {i} "
+                      + " ".join(vocab.FILLER[(i * 5 + w)
+                                              % len(vocab.FILLER)]
+                                 for w in range(10)),
+                 lang=lang)
+            for i, (u, lang) in enumerate(urls)]
+    _write(os.path.join(out_dir, "psl_crawl.parquet"), rows,
+           pa.schema([("url", pa.string()),
+                      ("warc_ts", pa.timestamp("us")),
+                      ("text", pa.string()), ("lang", pa.string())]))
 
 
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
@@ -1332,3 +1390,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_benchmark(out_dir, {"t1": 12}.get(tier, 48))
     gen_wet_pages(out_dir, {"t1": 36}.get(tier, 150))
     gen_domain_blocklist(out_dir)
+    gen_psl_crawl(out_dir)

@@ -114,7 +114,16 @@ def train_bpe(texts, n_merges: int) -> list[tuple[str, str]]:
             w = tuple(map_word(raw))
             if w:
                 word_freq[w] = word_freq.get(w, 0) + 1
+    return _merge_loop(word_freq, n_merges)
 
+
+def _merge_loop(word_freq: dict[tuple[str, ...], int],
+                n_merges: int) -> list[tuple[str, str]]:
+    """The sequential greedy merge loop over a (symbol-tuple -> freq)
+    table — shared by :func:`train_bpe` (in-process corpora) and
+    :func:`train_bpe_spark`'s driver fast path (the collected Zipf
+    word-frequency table). Ties on pair frequency break on the
+    lexicographically smallest (left, right)."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_freq: dict[tuple[str, str], int] = {}

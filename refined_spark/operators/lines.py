@@ -37,11 +37,19 @@ Dataflow (the 100-TB shape):
    (``broadcast_keys=False`` is the beyond-broadcast escape hatch — an
    anti join never expands hot keys).
 4. :func:`_reassemble` (shared) — surviving positions fold to ONE
-   int-array row per doc, then join the corpus by its id: the single
-   exchange document text crosses (same accepted class as
+   sorted int-array row per doc, then join the corpus by its id: the
+   single exchange document text crosses (same accepted class as
    crawl.latest_snapshot's collapse; with doc-id-bucketed storage it is
-   exchange-free), and the rebuild is a JVM ``filter``-by-index +
-   ``array_join`` — no UDF anywhere in the module.
+   exchange-free), and the rebuild maps the kept-position array with
+   O(1) ``element_at`` + ``array_join`` — linear in kept lines, no UDF
+   anywhere in the module.
+
+``sep`` is a LITERAL separator on both engines: the Spark side quotes
+it (``\\Q…\\E``) before handing it to the regex-based ``split``, so a
+separator like ``"|"`` or ``"."`` splits on that character, not on
+every character; the DuckDB replay's ``string_split`` is literal by
+definition. Separators containing the ``\\E`` quoting terminator are
+refused loudly.
 
 Both engines share the normalization verbatim: the Spark Column chain
 and :func:`norm_line_sql` (the DuckDB replay emitter) are generated
@@ -55,6 +63,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 LINE_SEP = "\n"
+
+
+def _sep_pattern(sep: str) -> str:
+    """Regex-quote the literal separator for Spark's regex ``split``
+    (the DuckDB replay's string_split is literal already)."""
+    if r"\E" in sep:
+        raise ValueError(
+            r"separator must not contain the regex quoting terminator \E")
+    return "\\Q" + sep + "\\E"
 
 # CCNet normalization as an ordered (regex, replacement) list — the
 # single source of truth for BOTH engines (Spark compiles it below,
@@ -94,7 +111,7 @@ def doc_lines(docs: DataFrame, id_col: str = "doc_id",
     as boilerplate)."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1))
+        F.posexplode(F.split(F.col(text_col), _sep_pattern(sep), -1))
         .alias("pos", "line"))
     norm = norm_line(F.col("line"))
     return lines.withColumn("key", F.when(norm != "", F.md5(norm)))
@@ -107,13 +124,14 @@ def _reassemble(docs: DataFrame, kept: DataFrame, id_col: str,
     ``kept`` is (id, pos) — key-width. It folds to one sorted int-array
     row per doc (map-side-combining collect over ints), then joins the
     corpus on its id — the one exchange document text crosses — and the
-    text rebuilds JVM-side by index filter. Docs with NO surviving
+    text rebuilds JVM-side by mapping the kept positions with O(1)
+    ``element_at`` (linear in kept lines). Docs with NO surviving
     lines are dropped when ``drop_empty`` (a fully-duplicate page IS a
     duplicate), else kept with empty text."""
     kept_arr = (kept.groupBy(id_col)
                 .agg(F.sort_array(F.collect_list("pos")).alias("_kept")))
     joined = docs.join(kept_arr, id_col, "left")
-    parts = F.split(F.col(text_col), sep, -1)
+    parts = F.split(F.col(text_col), _sep_pattern(sep), -1)
     # map over the KEPT positions and index into parts — O(kept) with
     # O(1) element_at, vs the O(lines x kept) per-document cost of a
     # filter-by-index + array_contains scan (quadratic on long pages).

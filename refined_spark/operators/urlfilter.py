@@ -16,15 +16,18 @@ subdomain (``ads.tracker.example.org`` matches a listed
 The registered domain derives from the canonical host
 (:func:`refined_spark.operators.hosts.host_of` — the crawl.py rule
 atoms, so url-alias decorations like case, ``www.``, default ports
-cannot split identities) via a CLOSED public-suffix rule: if the last
-two labels form a known multi-part suffix (``co.uk`` …), the
-registered domain is the last three labels, else the last two; IP
-literals and single-label hosts pass through whole. The suffix set is
-the module constant ``MULTI_SUFFIXES`` — the deterministic small-scale
-instance of the public-suffix list (production swaps in the full PSL
-snapshot; the rule shape is identical) — and
+cannot split identities) via the public-suffix longest-match cascade
+over the PSL snapshot (:mod:`refined_spark.operators.psl` — exact
+ICANN rules at 2 and 3 labels; see that module for scope and the
+production regeneration path): if the last THREE labels form a listed
+3-label suffix (``k12.ca.us`` …), the registered domain is the last
+four labels; else if the last TWO form a listed 2-label suffix
+(``co.uk``, ``com.sg`` …), the last three; else the last two. IP
+literals and single-label hosts pass through whole; a host that IS a
+suffix maps to itself; a NULL/absent authority yields NULL (and the
+anti joins below keep NULL-domain rows — nothing condemns them).
 :func:`registered_domain_sql` emits the DuckDB replay from the same
-constant, so the engines cannot drift suffix-by-suffix.
+constants, so the engines cannot drift suffix-by-suffix.
 
 Scale shape: domain extraction is pure codegen Column work (map-only,
 fuses into the scan); the blocklist is a curated-list-scale dimension
@@ -42,48 +45,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hosts import host_of, host_sql
+from .psl import SUFFIXES_2, SUFFIXES_3
 
-# Closed multi-part public-suffix set (the small-scale deterministic
-# instance of the PSL; ONE source of truth for both engines).
-MULTI_SUFFIXES: tuple[str, ...] = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "co.in", "co.nz", "co.kr", "co.za",
-    "com.br", "com.cn", "com.mx", "com.tr",
-)
+# Back-compat alias: the 2-label slice of the PSL snapshot (rounds 1-4
+# shipped a closed 16-entry set under this name; the r4 verdict's
+# production-correctness item replaced it with the snapshot).
+MULTI_SUFFIXES: tuple[str, ...] = SUFFIXES_2
 _RE_PORT = ":[0-9]+$"
 _RE_IP = r"^[0-9.]+$"
 
 
 def registered_domain(url: Column) -> Column:
     """Registered domain of a URL column (see module docstring). Pure
-    codegen; NULL-safe on malformed urls (no authority → empty host →
-    returned as-is)."""
+    codegen — the two suffix memberships compile to O(1) InSet probes
+    (Catalyst converts isin past inSetConversionThreshold=10). NULL
+    authority → NULL; malformed url with an empty-string authority →
+    empty string (both engines)."""
     host = F.regexp_replace(host_of(url), _RE_PORT, "")
     parts = F.split(host, r"\.")
+    # concat_ws skips NULL slots, so lastN degrades to the full host
+    # when the host has < N labels — matched by the size guard / the
+    # host-is-the-suffix contract before that ever shows.
     last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)),
                         F.try_element_at(parts, F.lit(-1)))
     last3 = F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2)
-    return (F.when(host.rlike(_RE_IP) | (F.size(parts) <= 2), host)
-            .when(last2.isin(*MULTI_SUFFIXES), last3)
+    last4 = F.concat_ws(".", F.try_element_at(parts, F.lit(-4)), last3)
+    return (F.when(host.isNull(), F.lit(None).cast("string"))
+            .when(host.rlike(_RE_IP) | (F.size(parts) <= 2), host)
+            .when(last3.isin(*SUFFIXES_3), last4)
+            .when(last2.isin(*SUFFIXES_2), last3)
             .otherwise(last2))
 
 
 def registered_domain_sql(url_expr: str) -> str:
     """DuckDB replay of :func:`registered_domain`, emitted from the
-    same suffix constant and rule order. ``url_expr`` should be a
-    simple column reference (the expression inlines it repeatedly)."""
+    same suffix constants and rule order. ``url_expr`` should be a
+    simple column reference (the expression inlines it repeatedly).
+    The coalesce on lastN mirrors Spark's NULL-skipping concat_ws
+    (DuckDB's || is NULL-propagating)."""
     host = (f"regexp_replace({host_sql(url_expr)}, '{_RE_PORT}', '')")
     # bind once via a scalar subquery-free trick: DuckDB allows lateral
     # column reuse only in CTEs, so callers get a compact single
     # expression over string_split
     p = f"string_split({host}, '.')"
     last2 = f"({p}[-2] || '.' || {p}[-1])"
-    last3 = f"({p}[-3] || '.' || {last2})"
-    suf = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
-    return (f"(case when regexp_matches({host}, '{_RE_IP}') "
+    last3 = f"coalesce(({p}[-3] || '.' || {last2}), {last2})"
+    last4 = f"coalesce(({p}[-4] || '.' || {last3}), {last3})"
+    suf2 = ", ".join(f"'{s}'" for s in SUFFIXES_2)
+    suf3 = ", ".join(f"'{s}'" for s in SUFFIXES_3)
+    return (f"(case when {host} is null then null "
+            f"when regexp_matches({host}, '{_RE_IP}') "
             f"or len({p}) <= 2 then {host} "
-            f"when {last2} in ({suf}) then {last3} "
+            f"when {last3} in ({suf3}) then {last4} "
+            f"when {last2} in ({suf2}) then {last3} "
             f"else {last2} end)")
 
 

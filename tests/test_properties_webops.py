@@ -17,8 +17,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from refined_spark.operators.packing import pack_manifest
-from refined_spark.operators.urlfilter import (MULTI_SUFFIXES,
-                                               registered_domain_sql)
+from refined_spark.operators.psl import SUFFIXES_2, SUFFIXES_3
+from refined_spark.operators.urlfilter import registered_domain_sql
 
 # ---------------------------------------------------------------- urlfilter
 
@@ -28,22 +28,30 @@ _HOSTS = st.one_of(
     st.lists(_LABEL, min_size=1, max_size=4).map(".".join),
     st.lists(_LABEL, min_size=1, max_size=2).map(
         lambda ls: ".".join(ls + ["co", "uk"])),
+    st.lists(_LABEL, min_size=1, max_size=2).map(
+        lambda ls: ".".join(ls + ["com", "sg"])),
+    st.lists(_LABEL, min_size=0, max_size=2).map(
+        lambda ls: ".".join(ls + ["k12", "ca", "us"])),
     st.tuples(st.integers(0, 255), st.integers(0, 255),
               st.integers(0, 255), st.integers(0, 255)).map(
         lambda t: ".".join(map(str, t))),
 )
 
+_S2, _S3 = set(SUFFIXES_2), set(SUFFIXES_3)
+
 
 def _registered_domain_py(host: str) -> str:
-    """Independent Python replay of the closed rule (module docstring
-    of operators/urlfilter.py) — deliberately NOT sharing code with the
-    implementation."""
+    """Independent Python replay of the longest-match cascade (module
+    docstring of operators/urlfilter.py) — deliberately NOT sharing
+    code with the implementation."""
     if re.fullmatch(r"[0-9.]+", host):
         return host
     parts = host.split(".")
     if len(parts) <= 2:
         return host
-    if ".".join(parts[-2:]) in MULTI_SUFFIXES:
+    if ".".join(parts[-3:]) in _S3:
+        return ".".join(parts[-4:])
+    if ".".join(parts[-2:]) in _S2:
         return ".".join(parts[-3:])
     return ".".join(parts[-2:])
 
