@@ -1366,6 +1366,158 @@ def gen_psl_crawl(out_dir: str) -> None:
                       ("text", pa.string()), ("lang", pa.string())]))
 
 
+def gen_curation_pages(out_dir: str) -> None:
+    """Dedicated corpus for the FULL curation chain gate (curate_full /
+    curate_pack): every stage of operators/curation.py bites, in order,
+    with deterministic construction (pure function of indices, no RNG).
+    Columns: (doc_id, url, warc_ts, text, lang).
+
+    - BLOCKED domains: pages on ads.example1.org (listed example1.org)
+      and www.shop.com.sg (listed shop.com.sg — a PSL-snapshot suffix)
+      carry perfectly good text; only the blocklist stage can drop
+      them.
+    - ALIASED SNAPSHOTS: sites carry 1-3 snapshots whose urls are
+      aliases of one canonical form with per-site-unique warc_ts; only
+      the latest snapshot's text (revision-marked first line) may
+      survive the collapse.
+    - BOILERPLATE lines (digit/case-varied banners) on most pages in
+      >= 3 distinct docs -> cut from every page; a CROSS-DOC duplicate
+      content line in exactly 2 docs is protected from the cut but
+      keep-first then drops it from the later (url-order) page.
+    - PASS-THROUGH lines ('' and '$$$ ###') never key.
+    - SPAM HOST (spam.cur.org, 4 pages of low-alpha garbage) falls to
+      the host cut; its garbage lines normalize empty (pass-through),
+      so the line stages cannot save it.
+    - HAPAX DOC (doc 900 on good host h0): letters-only words unique
+      to it -> mean -logp far above every common-word doc -> LM cut.
+    - NEAR-DUP MIRROR PAIRS surviving the line stages by design: the
+      mirror repeats its base's three 40-word lines with the LAST word
+      of each line swapped, so every normalized line key is distinct
+      (both docs keep all lines) while word-3-gram Jaccard stays
+      ~0.85-0.9. Pair 1 (800/801): the mirror's swap words are LONGER
+      -> longest-wins keeps the mirror; pair 2 (810/811): equal-length
+      swaps -> the min-doc-id tie-break keeps the base.
+    - LANG STRATA en/de/fr/es for the terminal hash sample.
+    """
+    import datetime
+    import os
+
+    def alpha(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, d = divmod(i - 1, 26)
+            s = chr(97 + d) + s
+        return s
+
+    def content_line(i: int, j: int, swap: str | None = None) -> str:
+        ws = ["sect", alpha(i), "part", alpha(j)]
+        for g in range(9):
+            idx = (i * 997 + j * 101 + g * 13) % len(vocab.FILLER)
+            ws += ["the", vocab.FILLER[idx], "and",
+                   vocab.FILLER[(idx + 37) % len(vocab.FILLER)]]
+        if swap is not None:
+            ws[-1] = swap
+        return " ".join(ws)
+
+    def boiler(i: int, b: int) -> str:
+        base = [
+            f"Copyright {2016 + i % 8} Curated Pages Inc",
+            "Subscribe to our newsletter today",
+            "All rights reserved worldwide",
+        ][b % 3]
+        return base.upper() if (b % 3 == 1 and i % 2 == 1) else base
+
+    langs = ["en", "de", "fr", "es"]
+    rows = []
+
+    def add(doc_id, url, day, text, lang):
+        rows.append(dict(
+            doc_id=doc_id, url=url,
+            warc_ts=(datetime.datetime(2025, 2, 1)
+                     + datetime.timedelta(days=day, hours=doc_id % 11,
+                                          minutes=doc_id % 7)),
+            text=text, lang=lang))
+
+    # --- good hosts h0..h7, 4 pages each, 1-3 snapshots per page ----
+    doc_id = 0
+    for h in range(8):
+        for p in range(4):
+            i = h * 4 + p
+            site = f"h{h}.cur.org"
+            path = f"/p/{p}"
+            n_snaps = 1 + (i % 3)
+            for j in range(n_snaps):
+                deco = (i + j) % 4
+                u_host = ("www." + site if deco == 0
+                          else site.upper() if deco == 1 else site)
+                u_rest = path + ("/" if deco == 2 else "")
+                lines = [f"revision {alpha(j)} of page {alpha(i)}",
+                         boiler(i, i % 3),
+                         content_line(i, 0), "",
+                         content_line(i, 1),
+                         "$$$ ###" if i % 4 == 2 else boiler(i, 1 + i % 2)]
+                if i == 9:  # cross-doc dup: page 9 copies page 8's line
+                    lines.append(content_line(8, 0))
+                add(doc_id, f"https://{u_host}{u_rest}", i * 2 + j,
+                    "\n".join(lines), langs[i % 4])
+                doc_id += 1
+
+    # --- blocked-domain pages (good text; only the blocklist drops
+    #     them) ---
+    for k, u in enumerate(["https://ads.example1.org/x",
+                           "https://ads.example1.org/y",
+                           "https://www.shop.com.sg/cart"]):
+        add(700 + k, u, 50 + k,
+            "\n".join([content_line(60 + k, 0),
+                       content_line(60 + k, 1)]), "en")
+
+    # --- spam host: 4 pages of low-alpha garbage (host cut) ---
+    for k in range(4):
+        add(750 + k, f"https://spam.cur.org/{k}", 60 + k,
+            "\n".join([f"$$$ {k}{k}{k} ### @@@ !!!! %%% ^^^ &&& ***",
+                       f"{k}9{k}9 ____ ==== ++++ |||| ~~~~ ::: ;;;",
+                       "$$$ ###"]), langs[k % 4])
+
+    # --- doc-level line-stage drops: a page of PURE boilerplate (no
+    #     blanks) vanishes at the boilerplate cut; a page whose every
+    #     line already occurs on an earlier-url page vanishes at
+    #     keep-first ---
+    add(920, "https://zz.cur.org/allboiler", 75,
+        "\n".join([boiler(920, 0), boiler(920, 1), boiler(920, 2)]),
+        "en")
+    add(921, "https://zz.cur.org/alldup", 76,
+        "\n".join([content_line(0, 0), content_line(0, 1)]), "en")
+
+    # --- hapax doc on good host h0 (LM cut) ---
+    add(900, "https://h0.cur.org/rare", 70,
+        " ".join(f"qzx{alpha(w)}vw" for w in range(40)), "en")
+
+    # --- near-dup mirror pairs (survive line stages by design) ---
+    def mirror_doc(i, swaps):
+        return "\n".join(
+            content_line(i, j, swap=swaps[j] if swaps else None)
+            for j in range(3))
+
+    add(800, "https://h1.cur.org/base-a", 80, mirror_doc(70, None), "de")
+    add(801, "https://h2.cur.org/mirror-a", 81,
+        mirror_doc(70, ["variantlongerword", "anotherlongvariant",
+                        "extendedswapvariant"]), "de")
+    # pair 2: swap words of EXACTLY the base last word's length (all-z,
+    # no FILLER word is) -> equal text lengths -> min-doc-id tie-break
+    base_b = mirror_doc(71, None)
+    swaps_b = ["z" * len(ln.split(" ")[-1])
+               for ln in base_b.split("\n")]
+    add(810, "https://h3.cur.org/base-b", 82, base_b, "en")
+    add(811, "https://h4.cur.org/mirror-b", 83,
+        mirror_doc(71, swaps_b), "en")
+
+    _write(os.path.join(out_dir, "curation_pages.parquet"), rows,
+           pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                      ("warc_ts", pa.timestamp("us")),
+                      ("text", pa.string()), ("lang", pa.string())]))
+
+
 def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     n_media = {"t1": 64}.get(tier, 256)
     gen_media(out_dir, n_media)
@@ -1391,3 +1543,4 @@ def generate_extras(tier: str, cfg: dict, out_dir: str) -> None:
     gen_wet_pages(out_dir, {"t1": 36}.get(tier, 150))
     gen_domain_blocklist(out_dir)
     gen_psl_crawl(out_dir)
+    gen_curation_pages(out_dir)

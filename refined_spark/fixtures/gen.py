@@ -46,7 +46,7 @@ FIXTURE_VERSION = "v5"  # v5: documents/gold_spans sharded into many files
 # Versioned SEPARATELY so adding one never invalidates the expensive bench
 # corpus: extras are only generated for oracle tiers (t1/t2) and regenerate
 # independently of the core stamp.
-EXTRAS_VERSION = "x20"  # x20: PSL-snapshot blocklist rows + psl_crawl
+EXTRAS_VERSION = "x22"  # x22: psl_crawl + curation_pages, PSL blocklist
                         # (url/domain filtering gate);
                         # x18 added the multi-line wet_pages corpus
                         # (line-dedup + boilerplate-cut gates);

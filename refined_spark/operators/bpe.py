@@ -36,6 +36,7 @@ broadcast-file at cluster scale).
 
 from __future__ import annotations
 
+import logging
 import re
 from functools import lru_cache
 
@@ -54,6 +55,8 @@ from pyspark.sql.types import (
 #   \p{L} -> [^\W\d_]   (unicode letters)
 #   \p{N} -> \d         (unicode digits)
 #   other -> [^\s\w]|_  (everything else that isn't whitespace)
+_LOG = logging.getLogger(__name__)
+
 PRETOKEN_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
     r"| ?[^\W\d_]+"
@@ -326,29 +329,54 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def train_bpe_spark(docs: DataFrame, n_merges: int,
                     text_col: str = "text",
                     vocab_partitions: int = 1,
-                    checkpoint_every: int = 8) -> list[tuple[str, str]]:
+                    checkpoint_every: int = 8,
+                    driver_vocab_limit: int = 5_000_000,
+                    ) -> list[tuple[str, str]]:
     """Distributed BPE training, bit-identical to :func:`train_bpe`
-    (pytest pins equality; the `bpe_train` gate replays the fixture
-    artifact): same overlapping-pair counts, same (-freq, pair)
-    tie-break (Spark UTF8_BINARY string order == Python code-point
-    order: UTF-8 byte order is code-point-preserving), same greedy
-    left-to-right rewrite.
+    (pytest pins equality across all three paths; the `bpe_train` gate
+    replays the fixture artifact): same overlapping-pair counts, same
+    (-freq, pair) tie-break (Spark UTF8_BINARY string order == Python
+    code-point order: UTF-8 byte order is code-point-preserving), same
+    greedy left-to-right rewrite.
 
-    Scale shape: the corpus is touched ONCE (:func:`word_frequencies`);
-    the merge loop runs over the Zipf vocabulary-scale (symbols, freq)
-    frame — per round one pair-count aggregation (explode of adjacent
-    `arrays_zip` pairs, map-side combining), one 1-row argmax collect
-    (the algorithm's inherent sequential dependency — each merge
-    depends on the last), and one JVM fold rewrite. `localCheckpoint`
-    every ``checkpoint_every`` rounds truncates the iterative lineage
-    (the classic iterative-plan blowup otherwise re-analyzes k nested
-    HOFs at round k; a handful of nested folds between checkpoints is
-    cheap, a checkpoint job per round is not). ``vocab_partitions``
-    sizes the loop frame — 1 for fixture/test vocabularies, O(cores)
-    when the distinct-word table is genuinely large. Distinct words
-    stay distinct under merging (the symbol concatenation is
-    invariant), so the sequential algorithm's re-key step is a provable
-    no-op and is skipped."""
+    The corpus-scale work IS :func:`word_frequencies` — one Arrow pass
+    + one map-side-combining count agg; everything after runs over the
+    Zipf (word, freq) table. Two merge-loop strategies:
+
+    - **Driver fast path (default)**: when the distinct-word table has
+      at most ``driver_vocab_limit`` rows, collect it and run the
+      sequential :func:`_merge_loop` in-process — zero scheduled Spark
+      jobs per merge round. This is how fastBPE/HF train: a real web
+      corpus has ~10^6-10^7 distinct pre-tokens (tens of MB), and a
+      production 32k-100k-merge build through the distributed loop
+      would pay ~10^4-10^5 driver round-trips of pure scheduling
+      latency (measured: see BASELINE.md r5 — ~0.18 s/merge
+      distributed vs ~1 ms/merge collected at 1k merges on the
+      fixture vocabulary). The probe is ``limit(n+1).collect()`` on
+      the aggregated frame — one job, no separate count.
+    - **Distributed fallback** (``driver_vocab_limit=0`` or a
+      beyond-limit vocabulary): the merge loop over the vocab-scale
+      frame — per round one pair-count aggregation (explode of
+      adjacent `arrays_zip` pairs, map-side combining), one 1-row
+      argmax collect (the algorithm's inherent sequential dependency —
+      each merge depends on the last), and one JVM fold rewrite.
+      `localCheckpoint` every ``checkpoint_every`` rounds truncates
+      the iterative lineage (the classic iterative-plan blowup
+      otherwise re-analyzes k nested HOFs at round k). Distinct words
+      stay distinct under merging (the symbol concatenation is
+      invariant), so the sequential algorithm's re-key step is a
+      provable no-op and is skipped. ``vocab_partitions`` sizes the
+      loop frame — 1 for fixture/test vocabularies, O(cores) when the
+      distinct-word table is genuinely large."""
+    if driver_vocab_limit:
+        rows = (word_frequencies(docs, text_col)
+                .limit(driver_vocab_limit + 1).collect())
+        if len(rows) <= driver_vocab_limit:
+            word_freq = {tuple(r["word"]): r["freq"] for r in rows}
+            return _merge_loop(word_freq, n_merges)
+        _LOG.warning(
+            "train_bpe_spark: > %d distinct words — falling back to "
+            "the distributed merge loop", driver_vocab_limit)
     cur = (word_frequencies(docs, text_col)
            .select(F.regexp_extract_all("word", F.lit("."), 0)
                    .alias("syms"), "freq")

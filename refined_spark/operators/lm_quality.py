@@ -86,8 +86,11 @@ def drop_high_perplexity(docs: DataFrame, lm: DataFrame, tau: float,
     """The corpus minus documents whose lm_score exceeds ``tau`` (the
     CCNet tail cut), schema preserved; token-free docs (NULL score) are
     dropped with the tail — no text to defend them. Left-semi join on
-    the id — key-width rows only."""
+    the id — key-width rows only. The re-select restores the input
+    column ORDER (a by-name join hoists the key column to the front,
+    which broke the schema-preserved contract whenever ``id_col`` was
+    not already first)."""
     keep = (with_lm_score(docs, lm, id_col, text_col, broadcast_lm)
             .where(F.col("lm_score") <= tau)
             .select(id_col))
-    return docs.join(keep, id_col, "left_semi")
+    return docs.join(keep, id_col, "left_semi").select(*docs.columns)

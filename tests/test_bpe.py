@@ -133,16 +133,36 @@ TRAIN_CORPORA = [
 
 
 def test_train_bpe_spark_matches_sequential(spark):
-    """The distributed trainer is bit-identical to train_bpe — same
-    overlapping-pair counts, same (-freq, pair) tie-break, same greedy
-    rewrite — on corpora covering multi-byte chars and tie cases."""
+    """BOTH trainer paths — the default driver fast path (collected
+    Zipf word-frequency table, the fastBPE/HF shape) and the
+    distributed merge loop (driver_vocab_limit=0) — are bit-identical
+    to train_bpe: same overlapping-pair counts, same (-freq, pair)
+    tie-break, same greedy rewrite — on corpora covering multi-byte
+    chars and tie cases."""
     from refined_spark.operators.bpe import train_bpe_spark
 
     for texts in TRAIN_CORPORA:
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)],
             "doc_id long, text string")
-        assert train_bpe_spark(docs, 25) == train_bpe(texts, 25)
+        expected = train_bpe(texts, 25)
+        assert train_bpe_spark(docs, 25) == expected
+        assert train_bpe_spark(docs, 25,
+                               driver_vocab_limit=0) == expected
+
+
+def test_train_bpe_spark_vocab_limit_fallback(spark):
+    """A vocabulary larger than driver_vocab_limit falls back to the
+    distributed loop — same artifact, one warning."""
+    from refined_spark.operators.bpe import train_bpe_spark
+
+    texts = TRAIN_CORPORA[0]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    # the corpus has far more than 2 distinct words -> forced fallback
+    assert (train_bpe_spark(docs, 10, driver_vocab_limit=2)
+            == train_bpe(texts, 10))
 
 
 def test_train_bpe_spark_early_stop_and_checkpoint_cadence(spark):
@@ -151,12 +171,17 @@ def test_train_bpe_spark_early_stop_and_checkpoint_cadence(spark):
     docs = spark.createDataFrame([(0, "ab ab")],
                                  "doc_id long, text string")
     # pairs exhaust after 2 merges; asking for 50 must stop, not spin
+    # (both paths)
     assert train_bpe_spark(docs, 50) == train_bpe(["ab ab"], 50)
+    assert (train_bpe_spark(docs, 50, driver_vocab_limit=0)
+            == train_bpe(["ab ab"], 50))
     # the lineage-truncation cadence is an execution detail only
     docs2 = spark.createDataFrame(
         [(0, "the cat sat on the mat")], "doc_id long, text string")
-    assert (train_bpe_spark(docs2, 12, checkpoint_every=1)
-            == train_bpe_spark(docs2, 12, checkpoint_every=50))
+    assert (train_bpe_spark(docs2, 12, driver_vocab_limit=0,
+                            checkpoint_every=1)
+            == train_bpe_spark(docs2, 12, driver_vocab_limit=0,
+                               checkpoint_every=50))
 
 
 def test_train_merge_prefix_stability():

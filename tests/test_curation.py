@@ -69,6 +69,61 @@ def test_near_dup_stage_composes(spark, fx_t1):
     release_caches()
 
 
+def test_full_chain_on_curation_pages(spark, fx_t1):
+    """The FULL 8-stage chain over the dedicated curation_pages
+    fixture (every stage bites, each drop attributable to exactly one
+    stage — the fixture is engineered so thresholds sit far from every
+    non-target doc): blocklist, collapse, boilerplate cut, keep-first,
+    host cut, LM cut, near-dup survivor election (both the
+    longest-wins and the min-id tie-break arm), stratified sample."""
+    from refined_spark.caching import release_caches
+
+    pages = spark.read.parquet(
+        os.path.join(fx_t1, "curation_pages.parquet"))
+    bl = spark.read.parquet(
+        os.path.join(fx_t1, "domain_blocklist.parquet"))
+    cfg = dict(host_tau=0.5, host_min_docs=2, lm_tau=5.0,
+               rates={"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0},
+               line_dedup=True, boilerplate_min_docs=3,
+               near_dup_tau=0.75)
+    out = curate_corpus(pages, blocklist=bl, **cfg)
+    release_caches()
+    assert out.columns == pages.columns
+    rows = {r.doc_id: r for r in out.collect()}
+    ids = set(rows)
+
+    # blocklist: the 3 blocked pages (incl. the PSL com.sg suffix)
+    assert not ids & {700, 701, 702}
+    # host cut: the spam host's 4 pages
+    assert not ids & {750, 751, 752, 753}
+    # LM cut: the hapax doc
+    assert 900 not in ids
+    # line stages: all-boilerplate and all-duplicate pages vanish
+    assert not ids & {920, 921}
+    # near-dup pair 1: mirror is LONGER -> longest-wins keeps 801
+    assert 801 in ids and 800 not in ids
+    # near-dup pair 2: equal lengths -> min-doc-id keeps 810
+    assert 810 in ids and 811 not in ids
+    # collapse: exactly one snapshot per canonical good page survives
+    # stages up to here; with all-1.0 rates nothing else drops, so the
+    # survivor count is 32 good pages - 1 keep-first casualty... the
+    # cross-doc dup line costs page 9 a line, not the page; total =
+    # 32 good + 2 mirror survivors = 34
+    assert len(ids) == 34
+    # boilerplate banners are gone from every surviving text; the
+    # protected 2-doc cross-page line survives on the EARLIER-url page
+    # only
+    joined = "\n".join(r.text for r in rows.values())
+    assert "opyright" not in joined and "ubscribe" not in joined \
+        and "rights reserved" not in joined.lower()
+    survivors_with_dup = [
+        r.doc_id for r in rows.values()
+        if "sect i part a " in r.text + " "]
+    assert len(survivors_with_dup) == 1
+    # pass-through lines ('' / '$$$ ###') still present somewhere
+    assert any("$$$ ###" in r.text for r in rows.values())
+
+
 def test_full_published_order_composes(spark, fx_t1):
     """The optional stages (blocklist before the collapse; line dedup +
     boilerplate cut between collapse and host cut) each bite without
