@@ -1712,10 +1712,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "entity_index": q_entity_index,
         "table_link": q_table_link,
-        # --- spare slots: the ED flagship (batch + streaming parity)
-        #     and the heaviest headline query, kept fresh ---
+        # --- spare slots + r5-changed corpus-filter modules: the ED
+        #     flagship kept fresh; dedup.py (drop_near_dups column-order
+        #     restore) -> dedup_survivors, which gates exactly the
+        #     changed function; decontam.py (drop_contaminated ditto)
+        #     -> decontam ---
         "links": q_links,
-        "stream_links": q_stream_links,
+        "dedup_survivors": q_dedup_survivors,
         "decontam": q_decontam,
         # ===== END WINDOW (50 entries above) =====
         # Everything below is green in CORRECTNESS_r04.json and its
@@ -1732,7 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aida_metrics": q_aida_metrics,
         "pr_curve": q_pr_curve,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_survivors": q_dedup_survivors,
+        "stream_links": q_stream_links,
         "et_types": q_et_types,
         "links_et": q_links_et,
         "host_quality": q_host_quality,

@@ -82,11 +82,13 @@ def drop_contaminated(docs: DataFrame, bench: DataFrame, n: int = 8,
                       id_col: str = "doc_id", text_col: str = "text",
                       bench_text_col: str = "text",
                       broadcast_bench: bool = True) -> DataFrame:
-    """The corpus minus contaminated documents, schema preserved."""
+    """The corpus minus contaminated documents, schema preserved (the
+    re-select restores the input column ORDER — a by-name join hoists
+    the key column to the front)."""
     bad = contaminated_ids(
         docs, benchmark_ngrams(bench, n, bench_text_col), n,
         id_col, text_col, broadcast_bench).select(id_col)
-    return docs.join(bad, id_col, "left_anti")
+    return docs.join(bad, id_col, "left_anti").select(*docs.columns)
 
 
 # -- shared DuckDB replay emitter (oracle cannot drift) --

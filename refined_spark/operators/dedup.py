@@ -567,7 +567,10 @@ def drop_near_dups(docs: DataFrame, pairs: DataFrame,
     """The cleaned corpus: ``docs`` filtered to near-dup survivors (one
     per transitive cluster + all singletons), original schema preserved.
     A left-semi join against the survivor id set — no corpus columns
-    ride the survivor computation."""
+    ride the survivor computation. The re-select restores the input
+    column ORDER (a by-name join hoists the key column to the
+    front)."""
     keep = (near_dup_survivors(docs, pairs, id_col, quality_col)
             .where("is_survivor").select(id_col))
-    return docs.join(keep, on=id_col, how="left_semi")
+    return (docs.join(keep, on=id_col, how="left_semi")
+            .select(*docs.columns))

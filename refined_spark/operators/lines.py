@@ -150,7 +150,9 @@ def _reassemble(docs: DataFrame, kept: DataFrame, id_col: str,
                        .otherwise(F.lit(""))))
     if drop_empty:
         out = out.where(F.col("n_lines_kept") > 0)
-    return out.drop("_kept")
+    # input columns in input ORDER (the by-name join hoists the id to
+    # the front), audit columns appended
+    return out.select(*docs.columns, "n_lines_kept", "n_lines_dropped")
 
 
 def line_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",

@@ -173,3 +173,35 @@ def test_full_published_order_composes(spark, fx_t1):
     assert texts and all("Accept all cookies now" not in t
                          for t in texts)
     assert lined.columns == snaps.columns
+
+
+def test_corpus_filters_preserve_column_order(spark):
+    """Every schema-preserved corpus filter must return the INPUT
+    column order even when the id/key column is not first — a by-name
+    join hoists the key to the front, which silently reordered the
+    output until the curate_full gate caught it (the curation_pages
+    fixture is the first corpus whose id column is not leftmost)."""
+    docs = spark.createDataFrame(
+        [("the quick brown fox jumps", i, f"https://h{i % 2}.x.org/{i}",
+          100 + i)
+         for i in range(6)],
+        "text string, extra int, url string, doc_id long")
+    cols = docs.columns  # text, extra, url, doc_id — id/key NOT first
+
+    from refined_spark.operators.decontam import drop_contaminated
+    from refined_spark.operators.dedup import drop_near_dups
+    from refined_spark.operators.lines import line_dedup_keep_first
+    from refined_spark.operators.lm_quality import (drop_high_perplexity,
+                                                    unigram_lm)
+
+    lm = unigram_lm(docs)
+    assert drop_high_perplexity(docs, lm, 1e9).columns == cols
+    bench = spark.createDataFrame([("never matching benchmark text",)],
+                                  "text string")
+    assert drop_contaminated(docs, bench, n=4).columns == cols
+    pairs = spark.createDataFrame([(100, 101)],
+                                  "id_a long, id_b long")
+    assert drop_near_dups(docs, pairs, quality_col="extra").columns \
+        == cols
+    assert line_dedup_keep_first(docs).columns \
+        == cols + ["n_lines_kept", "n_lines_dropped"]
