@@ -135,6 +135,21 @@ def run_headline_queries() -> dict[str, float]:
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 3)
+
+        # r5: BPE training through the production driver fast path
+        # (collected Zipf word-frequency table; the corpus pass is the
+        # dominant cost — see BASELINE.md round-5 A/B). An action, not
+        # a DataFrame: timed directly, same warmup-then-time protocol.
+        def _bpe_train():
+            from refined_spark.operators.bpe import train_bpe_spark
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet"))
+            return train_bpe_spark(docs, 48)
+
+        _bpe_train()
+        t0 = time.time()
+        _bpe_train()
+        out["bpe_train"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
     return out
