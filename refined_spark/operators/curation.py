@@ -96,6 +96,19 @@ def curate_corpus(snapshots: DataFrame, *,
         if line_dedup:
             pages = line_dedup_keep_first(
                 pages, id_col=url_col).select(cols)
+    # NO stage-output persists — adjudicated by a runtime census, not
+    # assumed: `pages` feeds both the host aggregation and the
+    # anti-join probe, `kept_hosts` the LM train + scoring pass + final
+    # semi-join probe, and the STATIC plan duplicates those subtrees
+    # ~12x — but AQE's runtime exchange-stage reuse dedups every one
+    # (measured on the flags-off chain: 16 executed stages, i.e. each
+    # distinct shuffle materialized once; with explicit track()
+    # persists instead: 27 stages / 4.5x the tasks, paying a
+    # cache-write pass and — at corpus scale — memory/spill pressure
+    # for work AQE already avoids). Pinned by
+    # test_chain_stage_census_aqe_reuse. The near-dup localCheckpoint
+    # below is the opposite case: a driver-side PLANNING blowup, which
+    # no runtime reuse can help.
     kept_hosts = drop_low_quality_hosts(
         pages, host_tau, host_min_docs, url_col=url_col)
     lm = unigram_lm(kept_hosts)

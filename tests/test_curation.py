@@ -205,3 +205,34 @@ def test_corpus_filters_preserve_column_order(spark):
         == cols
     assert line_dedup_keep_first(docs).columns \
         == cols + ["n_lines_kept", "n_lines_dropped"]
+
+
+def test_chain_stage_census_aqe_reuse(spark, fx_t1):
+    """The no-persist adjudication in curate_corpus's comment, pinned
+    at runtime: the static plan duplicates the collapse/host/LM
+    subtrees ~12x (every downstream reference re-plans them), and AQE's
+    exchange-stage reuse must dedup them at execution — each distinct
+    shuffle materializes ONCE. Measured healthy census: 16 executed
+    stages for the flags-off chain (explicit persists measured WORSE:
+    27 stages + a cache-write pass). If reuse ever breaks (a conf
+    change, a subtree that stops canonicalizing identically), the
+    duplicated subtrees execute for real and this bound trips."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet"))
+    sc = spark.sparkContext
+    sc.setJobGroup("census", "curate flags-off")
+    try:
+        curate_corpus(snaps, **CFG).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    stages = set()
+    for j in st.getJobIdsForGroup("census") or []:
+        info = st.getJobInfo(j)
+        if info:
+            stages.update(info.stageIds)
+    executed = sum(
+        1 for s in stages
+        if (si := st.getStageInfo(s)) and si.numCompletedTasks > 0)
+    assert 0 < executed <= 20, executed
