@@ -1229,8 +1229,12 @@ def q_url_block(spark, sf):
     urls; the listed FULL HOST entry must never match (matching is
     registered-domain-only); the psl_crawl rows exercise suffixes
     ABSENT from the r1-r4 closed set (com.sg, co.il, and a 4-label
-    registered domain under k12.ca.us) with unlisted controls; the
-    rest survive with their extracted domain in the output."""
+    registered domain under k12.ca.us), the wildcard-registry arm
+    (listed shop.buy.mm under *.mm condemns its promo. subdomain;
+    foo.bar.ck / a.b.nagoya.jp are unlisted wildcard controls), and
+    the exception arm (listed !city.kawasaki.jp condemns its ward.
+    subdomain), all with unlisted controls; the rest survive with
+    their extracted domain in the output."""
     from refined_spark.operators.urlfilter import (
         drop_blocked_domains, with_registered_domain)
 

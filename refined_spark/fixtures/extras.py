@@ -1312,6 +1312,11 @@ def gen_domain_blocklist(out_dir: str) -> None:
         dict(domain="shop.com.sg", category="spam"),
         dict(domain="news.co.il", category="ads"),
         dict(domain="myschool.k12.ca.us", category="malware"),
+        # wildcard-registry registered domain (*.mm → 3-label) and an
+        # exception-rule registrable (!city.kawasaki.jp) — the r5
+        # wildcard/exception cascade arms, each condemning subdomains
+        dict(domain="shop.buy.mm", category="spam"),
+        dict(domain="city.kawasaki.jp", category="ads"),
     ]
     _write(os.path.join(out_dir, "domain_blocklist.parquet"), rows,
            pa.schema([("domain", pa.string()),
@@ -1332,7 +1337,13 @@ def gen_psl_crawl(out_dir: str) -> None:
       under a 3-label suffix — longest-match wins over ``ca.us``);
     - ``site.com.ar`` / ``other.k12.ca.us`` / ``example.ac.uk`` are
       unlisted controls over new and old suffixes — all keep;
-    - host == suffix (``k12.ca.us``) maps to itself and keeps.
+    - host == suffix (``k12.ca.us``) maps to itself and keeps;
+    - ``shop.buy.mm`` is LISTED (a *.mm wildcard-registry 3-label
+      registered domain): the bare host and its promo. subdomain both
+      drop; ``city.kawasaki.jp`` is LISTED (the !city exception
+      registrable): its ward. subdomain drops;
+    - ``foo.bar.ck`` and ``a.b.nagoya.jp`` are unlisted wildcard
+      controls — both keep with their wildcard-rule domains.
     """
     import datetime
     import os
@@ -1352,6 +1363,11 @@ def gen_psl_crawl(out_dir: str) -> None:
         ("https://k12.ca.us/", "en"),
         ("https://example.ac.uk/research", "en"),
         ("https://uni.act.edu.au/courses", "en"),
+        ("https://shop.buy.mm/catalog", "my"),
+        ("https://promo.shop.buy.mm/sale", "my"),
+        ("https://ward.city.kawasaki.jp/office", "ja"),
+        ("https://foo.bar.ck/reef", "en"),
+        ("https://a.b.nagoya.jp/park", "ja"),
     ]
     rows = [dict(url=u, warc_ts=ts(i),
                  text=f"psl page {i} "

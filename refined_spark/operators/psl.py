@@ -12,21 +12,24 @@ correctness gap: ``com.sg``/``co.il``-style hosts silently fell back to
 the 2-label rule); this snapshot closes the families a web crawl
 actually hits.
 
-Production regeneration: parse the published ``public_suffix_list.dat``
-(ICANN section, between the BEGIN/END ICANN DOMAINS markers), keep
-exact rules with 2+ labels, and emit this module's tuple — the
-registered-domain Column rule and its DuckDB replay emitter
-(:mod:`refined_spark.operators.urlfilter`) both compile from
-``PSL_EXACT_RULES``, so a data refresh is a one-constant swap on BOTH
-engines at once.  Documented scope limits of the snapshot (not of the
-rule shape):
+Production regeneration: ``tools/gen_psl.py`` parses the published
+``public_suffix_list.dat`` (ICANN section, between the BEGIN/END ICANN
+DOMAINS markers; IDNA-encoded labels; exceptions/wildcards classified
+by depth, out-of-scope shapes reported never silently dropped) and
+emits this module's table assignments (``--emit``) or diffs the live
+file against the snapshot (``--check``) — the registered-domain Column
+rule and its DuckDB replay emitter
+(:mod:`refined_spark.operators.urlfilter`) both compile from these
+tables, so a data refresh is a one-constant swap on BOTH engines at
+once.  Documented scope limits of the snapshot (not of the rule
+shape):
 
 - WILDCARD rules (``*.ck``, ``*.kawasaki.jp``) and their EXCEPTIONS
-  (``!www.ck``) are not representable as exact entries; hosts under
-  them fall back to the exact-rule cascade. They are a tail registry
-  class (Cook Islands, Japanese municipal geo, ``*.sch.uk``) — swap in
-  a wildcard-aware generated CASE arm with the full PSL if a corpus is
-  heavy in them.
+  (``!www.ck``, ``!city.kawasaki.jp``) are carried as their own tables
+  (:data:`WILDCARD_1` / :data:`WILDCARD_2` / :data:`EXCEPTIONS_2` /
+  :data:`EXCEPTIONS_3`) and compile into two extra cascade arms in
+  both engines, exceptions tested first — the published
+  exception > wildcard > longest-exact prevailing-rule order.
 - PRIVATE-section suffixes (github.io, blogspot.com, s3 buckets …) are
   registrar-operated, not registry: UT1-style blocklists list the
   platform domain itself there, so the ICANN-only snapshot matches the
@@ -232,3 +235,64 @@ SUFFIXES_2: tuple[str, ...] = tuple(
     s for s in PSL_EXACT_RULES if s.count(".") == 1)
 SUFFIXES_3: tuple[str, ...] = tuple(
     s for s in PSL_EXACT_RULES if s.count(".") == 2)
+
+# --- wildcard rules + their exceptions -----------------------------------
+# PSL wildcard rules ``*.<base>`` mean EVERY single label under <base>
+# is itself a public suffix (so a host registers one label deeper than
+# under an exact rule); exception rules ``!<name>`` carve a specific
+# name back out (the name itself is the registrable domain, and every
+# subdomain of it belongs to it).  The ICANN section's wildcard
+# registries, from the published file:
+#
+# - whole-ccTLD wildcards (``*.bd`` …): any 2-label tail is a suffix,
+#   hosts register at 3 labels;
+# - the Japanese municipal geo wildcards (``*.kawasaki.jp`` …): any
+#   3-label tail under the city base is a suffix, hosts register at 4 —
+#   EXCEPT the ``city.<city>.jp`` names themselves (the municipal
+#   government's own registrable domain);
+# - ``!www.ck`` under ``*.ck``: Cook Islands' own carve-out.
+#
+# Both engines compile these (refined_spark.operators.urlfilter) as two
+# extra cascade arms with the exceptions tested FIRST — exception >
+# wildcard > exact-longest is the published prevailing-rule order.
+WILDCARD_1: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "jm", "mm", "np", "pg")
+WILDCARD_2: tuple[str, ...] = (
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+EXCEPTIONS_2: tuple[str, ...] = ("www.ck",)
+EXCEPTIONS_3: tuple[str, ...] = tuple(
+    f"city.{base}" for base in WILDCARD_2)
+
+
+class PslRules:
+    """One immutable bundle of the six rule tables the registered-domain
+    cascade compiles (both engines). The module-level :data:`SNAPSHOT`
+    is the checked-in hand-audited instance; ``tools/gen_psl.py``
+    produces a refreshed one from the published
+    ``public_suffix_list.dat``."""
+
+    __slots__ = ("suffixes_2", "suffixes_3", "wildcard_1",
+                 "wildcard_2", "exceptions_2", "exceptions_3")
+
+    def __init__(self, suffixes_2, suffixes_3, wildcard_1=(),
+                 wildcard_2=(), exceptions_2=(), exceptions_3=()):
+        self.suffixes_2 = tuple(suffixes_2)
+        self.suffixes_3 = tuple(suffixes_3)
+        self.wildcard_1 = tuple(wildcard_1)
+        self.wildcard_2 = tuple(wildcard_2)
+        self.exceptions_2 = tuple(exceptions_2)
+        self.exceptions_3 = tuple(exceptions_3)
+
+    def __eq__(self, other):
+        return isinstance(other, PslRules) and all(
+            getattr(self, f) == getattr(other, f) for f in self.__slots__)
+
+    def __repr__(self):
+        return ("PslRules(" + ", ".join(
+            f"{f}=<{len(getattr(self, f))}>" for f in self.__slots__)
+            + ")")
+
+
+SNAPSHOT = PslRules(SUFFIXES_2, SUFFIXES_3, WILDCARD_1, WILDCARD_2,
+                    EXCEPTIONS_2, EXCEPTIONS_3)

@@ -18,11 +18,15 @@ The registered domain derives from the canonical host
 atoms, so url-alias decorations like case, ``www.``, default ports
 cannot split identities) via the public-suffix longest-match cascade
 over the PSL snapshot (:mod:`refined_spark.operators.psl` — exact
-ICANN rules at 2 and 3 labels; see that module for scope and the
-production regeneration path): if the last THREE labels form a listed
-3-label suffix (``k12.ca.us`` …), the registered domain is the last
-four labels; else if the last TWO form a listed 2-label suffix
-(``co.uk``, ``com.sg`` …), the last three; else the last two. IP
+ICANN rules at 2 and 3 labels plus the wildcard registries and their
+exceptions; see that module for scope and the production regeneration
+path): exceptions first (``www.ck`` / ``city.kawasaki.jp`` ARE the
+registered domains, with every subdomain theirs); then if the last TWO
+labels are a wildcard base (``kawasaki.jp`` …) or the last THREE a
+listed 3-label suffix (``k12.ca.us`` …), the registered domain is the
+last four labels; then if the last label is a wildcard ccTLD
+(``*.ck`` …) or the last TWO a listed 2-label suffix (``co.uk``,
+``com.sg`` …), the last three; else the last two. IP
 literals and single-label hosts pass through whole; a host that IS a
 suffix maps to itself; a NULL/absent authority yields NULL (and the
 anti joins below keep NULL-domain rows — nothing condemns them).
@@ -45,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hosts import host_of, host_sql
-from .psl import SUFFIXES_2, SUFFIXES_3
+from .psl import SNAPSHOT, SUFFIXES_2, SUFFIXES_3, PslRules
 
 # Back-compat alias: the 2-label slice of the PSL snapshot (rounds 1-4
 # shipped a closed 16-entry set under this name; the r4 verdict's
@@ -55,31 +59,47 @@ _RE_PORT = ":[0-9]+$"
 _RE_IP = r"^[0-9.]+$"
 
 
-def registered_domain(url: Column) -> Column:
+def registered_domain(url: Column,
+                      rules: PslRules = SNAPSHOT) -> Column:
     """Registered domain of a URL column (see module docstring). Pure
-    codegen — the two suffix memberships compile to O(1) InSet probes
+    codegen — the suffix memberships compile to O(1) InSet probes
     (Catalyst converts isin past inSetConversionThreshold=10). NULL
     authority → NULL; malformed url with an empty-string authority →
-    empty string (both engines)."""
+    empty string (both engines). Arm order is the PSL's published
+    prevailing-rule order: exception > wildcard/exact at 3 labels >
+    wildcard/exact at 2 labels (a wildcard and an exact rule of the
+    same depth yield the same registered domain, so only the
+    exception-first ordering is load-bearing)."""
     host = F.regexp_replace(host_of(url), _RE_PORT, "")
     parts = F.split(host, r"\.")
     # concat_ws skips NULL slots, so lastN degrades to the full host
     # when the host has < N labels — matched by the size guard / the
     # host-is-the-suffix contract before that ever shows.
-    last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)),
-                        F.try_element_at(parts, F.lit(-1)))
+    last1 = F.try_element_at(parts, F.lit(-1))
+    last2 = F.concat_ws(".", F.try_element_at(parts, F.lit(-2)), last1)
     last3 = F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2)
     last4 = F.concat_ws(".", F.try_element_at(parts, F.lit(-4)), last3)
-    return (F.when(host.isNull(), F.lit(None).cast("string"))
-            .when(host.rlike(_RE_IP) | (F.size(parts) <= 2), host)
-            .when(last3.isin(*SUFFIXES_3), last4)
-            .when(last2.isin(*SUFFIXES_2), last3)
-            .otherwise(last2))
+    col = (F.when(host.isNull(), F.lit(None).cast("string"))
+           .when(host.rlike(_RE_IP) | (F.size(parts) <= 2), host))
+    if rules.exceptions_3:
+        col = col.when(last3.isin(*rules.exceptions_3), last3)
+    if rules.exceptions_2:
+        col = col.when(last2.isin(*rules.exceptions_2), last2)
+    if rules.wildcard_2:
+        col = col.when(last2.isin(*rules.wildcard_2), last4)
+    if rules.suffixes_3:
+        col = col.when(last3.isin(*rules.suffixes_3), last4)
+    if rules.wildcard_1:
+        col = col.when(last1.isin(*rules.wildcard_1), last3)
+    if rules.suffixes_2:
+        col = col.when(last2.isin(*rules.suffixes_2), last3)
+    return col.otherwise(last2)
 
 
-def registered_domain_sql(url_expr: str) -> str:
+def registered_domain_sql(url_expr: str,
+                          rules: PslRules = SNAPSHOT) -> str:
     """DuckDB replay of :func:`registered_domain`, emitted from the
-    same suffix constants and rule order. ``url_expr`` should be a
+    same rule tables in the same arm order. ``url_expr`` should be a
     simple column reference (the expression inlines it repeatedly).
     The coalesce on lastN mirrors Spark's NULL-skipping concat_ws
     (DuckDB's || is NULL-propagating)."""
@@ -91,14 +111,34 @@ def registered_domain_sql(url_expr: str) -> str:
     last2 = f"({p}[-2] || '.' || {p}[-1])"
     last3 = f"coalesce(({p}[-3] || '.' || {last2}), {last2})"
     last4 = f"coalesce(({p}[-4] || '.' || {last3}), {last3})"
-    suf2 = ", ".join(f"'{s}'" for s in SUFFIXES_2)
-    suf3 = ", ".join(f"'{s}'" for s in SUFFIXES_3)
+
+    def inset(vals):
+        return ", ".join(f"'{v}'" for v in vals)
+
+    arms = []
+    if rules.exceptions_3:
+        arms.append(f"when {last3} in ({inset(rules.exceptions_3)}) "
+                    f"then {last3}")
+    if rules.exceptions_2:
+        arms.append(f"when {last2} in ({inset(rules.exceptions_2)}) "
+                    f"then {last2}")
+    if rules.wildcard_2:
+        arms.append(f"when {last2} in ({inset(rules.wildcard_2)}) "
+                    f"then {last4}")
+    if rules.suffixes_3:
+        arms.append(f"when {last3} in ({inset(rules.suffixes_3)}) "
+                    f"then {last4}")
+    if rules.wildcard_1:
+        arms.append(f"when {p}[-1] in ({inset(rules.wildcard_1)}) "
+                    f"then {last3}")
+    if rules.suffixes_2:
+        arms.append(f"when {last2} in ({inset(rules.suffixes_2)}) "
+                    f"then {last3}")
     return (f"(case when {host} is null then null "
             f"when regexp_matches({host}, '{_RE_IP}') "
             f"or len({p}) <= 2 then {host} "
-            f"when {last3} in ({suf3}) then {last4} "
-            f"when {last2} in ({suf2}) then {last3} "
-            f"else {last2} end)")
+            + " ".join(arms)
+            + f" else {last2} end)")
 
 
 def with_registered_domain(docs: DataFrame, url_col: str = "url",

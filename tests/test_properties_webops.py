@@ -17,7 +17,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from refined_spark.operators.packing import pack_manifest
-from refined_spark.operators.psl import SUFFIXES_2, SUFFIXES_3
+from refined_spark.operators.psl import (EXCEPTIONS_2, EXCEPTIONS_3,
+                                         SUFFIXES_2, SUFFIXES_3,
+                                         WILDCARD_1, WILDCARD_2)
 from refined_spark.operators.urlfilter import registered_domain_sql
 
 # ---------------------------------------------------------------- urlfilter
@@ -32,26 +34,43 @@ _HOSTS = st.one_of(
         lambda ls: ".".join(ls + ["com", "sg"])),
     st.lists(_LABEL, min_size=0, max_size=2).map(
         lambda ls: ".".join(ls + ["k12", "ca", "us"])),
+    # wildcard registries and their exceptions
+    st.lists(_LABEL, min_size=1, max_size=3).map(
+        lambda ls: ".".join(ls + ["ck"])),
+    st.lists(_LABEL, min_size=0, max_size=2).map(
+        lambda ls: ".".join(ls + ["www", "ck"])),
+    st.lists(_LABEL, min_size=1, max_size=2).map(
+        lambda ls: ".".join(ls + ["kawasaki", "jp"])),
+    st.lists(_LABEL, min_size=0, max_size=2).map(
+        lambda ls: ".".join(ls + ["city", "kawasaki", "jp"])),
     st.tuples(st.integers(0, 255), st.integers(0, 255),
               st.integers(0, 255), st.integers(0, 255)).map(
         lambda t: ".".join(map(str, t))),
 )
 
 _S2, _S3 = set(SUFFIXES_2), set(SUFFIXES_3)
+_W1, _W2 = set(WILDCARD_1), set(WILDCARD_2)
+_X2, _X3 = set(EXCEPTIONS_2), set(EXCEPTIONS_3)
 
 
 def _registered_domain_py(host: str) -> str:
-    """Independent Python replay of the longest-match cascade (module
-    docstring of operators/urlfilter.py) — deliberately NOT sharing
-    code with the implementation."""
+    """Independent Python replay of the prevailing-rule cascade (module
+    docstring of operators/urlfilter.py): exception > wildcard/exact
+    at each depth, longest first — deliberately NOT sharing code with
+    the implementation."""
+    host = re.sub(r"^www\.", "", host)  # crawl.py rule 2 (host atom)
     if re.fullmatch(r"[0-9.]+", host):
         return host
     parts = host.split(".")
     if len(parts) <= 2:
         return host
-    if ".".join(parts[-3:]) in _S3:
+    if ".".join(parts[-3:]) in _X3:
+        return ".".join(parts[-3:])
+    if ".".join(parts[-2:]) in _X2:
+        return ".".join(parts[-2:])
+    if ".".join(parts[-2:]) in _W2 or ".".join(parts[-3:]) in _S3:
         return ".".join(parts[-4:])
-    if ".".join(parts[-2:]) in _S2:
+    if parts[-1] in _W1 or ".".join(parts[-2:]) in _S2:
         return ".".join(parts[-3:])
     return ".".join(parts[-2:])
 

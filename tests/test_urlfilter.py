@@ -46,6 +46,28 @@ RULE_MATRIX = [
     # --- state code alone is a 2-label suffix: foo.ca.us registers ---
     ("https://foo.ca.us/", "foo.ca.us"),
     ("https://a.foo.ca.us/", "foo.ca.us"),
+    # --- wildcard registries (*.ck, *.mm …): hosts register one label
+    #     deeper, any 2-label tail is itself a suffix ---
+    ("https://foo.bar.ck/x", "foo.bar.ck"),
+    ("https://x.foo.bar.ck/x", "foo.bar.ck"),
+    ("https://bar.ck/", "bar.ck"),               # wildcard suffix AS host
+    ("https://shop.co.mm/", "shop.co.mm"),
+    # --- exception rules carve the name back out: it IS registrable ---
+    ("https://a.www.ck/", "www.ck"),
+    ("https://b.a.www.ck/", "www.ck"),
+    # the engine-wide canonical-host atom strips a LEADING www. before
+    # the cascade (crawl.py rule 2 — an alias-folding contract shared
+    # by both engines since r1), so the bare exception name itself
+    # folds to the TLD; only its subdomains exercise the carve-out
+    ("https://www.ck/", "ck"),
+    # --- 2-label wildcard bases (*.kawasaki.jp …) → 4-label
+    #     registered domains, with the !city.<base> exceptions ---
+    ("https://a.b.kawasaki.jp/", "a.b.kawasaki.jp"),
+    ("https://deep.a.b.kawasaki.jp/", "a.b.kawasaki.jp"),
+    ("https://b.kawasaki.jp/", "b.kawasaki.jp"),  # suffix AS host
+    ("https://city.kawasaki.jp/", "city.kawasaki.jp"),
+    ("https://ward.city.kawasaki.jp/", "city.kawasaki.jp"),
+    ("https://x.ward.city.sapporo.jp/", "city.sapporo.jp"),
 ]
 
 
@@ -174,6 +196,22 @@ def test_snapshot_is_longest_match_and_well_formed():
     # shadowed without longest-match — assert the cascade is needed
     assert any(".".join(s.split(".")[1:]) in set(SUFFIXES_2)
                for s in SUFFIXES_3)
+    # wildcard/exception tables: each exception sits under a carried
+    # wildcard base (the published pairing), depths are what the
+    # cascade arms assume, and no wildcard base is also an exact rule
+    # (the arms would be unreachable)
+    from refined_spark.operators.psl import (EXCEPTIONS_2, EXCEPTIONS_3,
+                                             SNAPSHOT, WILDCARD_1,
+                                             WILDCARD_2)
+    assert all("." not in t for t in WILDCARD_1)
+    assert all(b.count(".") == 1 for b in WILDCARD_2)
+    assert all(x.split(".", 1)[1] in set(WILDCARD_1)
+               for x in EXCEPTIONS_2)
+    assert all(x.split(".", 1)[1] in set(WILDCARD_2)
+               for x in EXCEPTIONS_3)
+    assert not set(WILDCARD_2) & set(PSL_EXACT_RULES)
+    assert SNAPSHOT.suffixes_2 == SUFFIXES_2
+    assert SNAPSHOT.wildcard_1 == WILDCARD_1
 
 
 def test_with_registered_domain_column(spark):
@@ -181,3 +219,93 @@ def test_with_registered_domain_column(spark):
         _df(spark, ["https://www.a.example.org/"]))
     assert out.columns == ["doc_id", "url", "domain"]
     assert out.collect()[0].domain == "example.org"
+
+
+_PSL_SAMPLE = """\
+// this rule is OUTSIDE the ICANN section and must be ignored
+ignored.example
+
+// ===BEGIN ICANN DOMAINS===
+// ac : comment line
+ac
+com.ac
+k12.zz.us
+pvt.k12.zz.us
+*.ck
+!www.ck
+*.kawasaki.jp
+!city.kawasaki.jp
+*.deep.base.example
+中国
+co.uk  trailing tokens are not part of the rule
+// ===END ICANN DOMAINS===
+
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_gen_psl_parser_and_emitter(tmp_path):
+    """tools/gen_psl.py — the snapshot refresh seam: the published-file
+    parser (section bounds, comments, markers, IDNA, token split), the
+    depth classifier with its out-of-scope report, the emitted fragment
+    round-trip, and a parsed-tables PslRules driving the SQL emitter."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        from gen_psl import classify, emit_fragment, parse_psl
+    finally:
+        sys.path.pop(0)
+
+    parsed = parse_psl(_PSL_SAMPLE.splitlines())
+    # private-section + outside-section rules never parse; the unicode
+    # TLD IDNA-encodes (never skips — it is a registered ccTLD)
+    assert "github.io" not in parsed["exact"]
+    assert "ignored.example" not in parsed["exact"]
+    assert "xn--fiqs8s" in parsed["exact"]
+    assert parsed["idn_skipped"] == 0
+    assert parsed["exact"] >= {"ac", "com.ac", "k12.zz.us",
+                               "pvt.k12.zz.us", "co.uk"}
+    assert parsed["wildcard"] == {"ck", "kawasaki.jp",
+                                  "deep.base.example"}
+    assert parsed["exception"] == {"www.ck", "city.kawasaki.jp"}
+
+    tables, oos = classify(parsed)
+    assert tables["SUFFIXES_2"] == ("co.uk", "com.ac")
+    assert tables["SUFFIXES_3"] == ("k12.zz.us",)
+    assert tables["WILDCARD_1"] == ("ck",)
+    assert tables["WILDCARD_2"] == ("kawasaki.jp",)
+    assert tables["EXCEPTIONS_2"] == ("www.ck",)
+    assert tables["EXCEPTIONS_3"] == ("city.kawasaki.jp",)
+    # nothing silently dropped: plain TLDs, 4-label exact, deep
+    # wildcard all land in the report
+    assert set(oos["exact_1label"]) == {"ac", "xn--fiqs8s"}
+    assert oos["exact_4plus"] == ["pvt.k12.zz.us"]
+    assert oos["wildcard_3plus"] == ["deep.base.example"]
+
+    # emitted fragment round-trips to the same tables
+    ns: dict = {}
+    exec(compile(emit_fragment(tables), "<frag>", "exec"), ns)
+    for name, vals in tables.items():
+        assert ns[name] == vals
+    assert ns["PSL_EXACT_RULES"] == tuple(sorted(
+        tables["SUFFIXES_2"] + tables["SUFFIXES_3"]))
+
+    # the parsed tables drive the cascade directly (the swap is a
+    # one-constant refresh on BOTH engines)
+    from refined_spark.operators.psl import PslRules
+    rules = PslRules(tables["SUFFIXES_2"], tables["SUFFIXES_3"],
+                     tables["WILDCARD_1"], tables["WILDCARD_2"],
+                     tables["EXCEPTIONS_2"], tables["EXCEPTIONS_3"])
+    con = duckdb.connect()
+    con.execute("create table t(url varchar)")
+    con.executemany("insert into t values (?)", [
+        ("https://a.shop.co.uk/x",), ("https://x.foo.ck/p",),
+        ("https://a.www.ck/p",), ("https://b.c.kawasaki.jp/",),
+        ("https://w.city.kawasaki.jp/",)])
+    got = [r[0] for r in con.execute(
+        f"select {registered_domain_sql('url', rules)} from t"
+    ).fetchall()]
+    assert got == ["shop.co.uk", "x.foo.ck", "www.ck",
+                   "b.c.kawasaki.jp", "city.kawasaki.jp"]
