@@ -805,6 +805,71 @@ def q_dedup_minhash(spark, sf):
     )
 
 
+def _increment_frames(spark, sf, with_election_and_null: bool):
+    """History + synthetic next-snapshot increment for the incremental
+    dedup gates: exact copies of every doc_id%3==0 history doc (must
+    drop against the manifest), reversed-text fresh docs from
+    doc_id%3==1 (must keep — reverse() makes the shingle sets disjoint
+    so BOTH the exact and the near gate agree the doc is new), plus —
+    for the exact gate — a second copy of each fresh doc (keep-first
+    election, the lower id wins) and a NULL-text row (NULL fingerprint:
+    nothing may condemn it)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (d.where(F.col("doc_id") % 3 == 0)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      "text"))
+    fresh = (d.where(F.col("doc_id") % 3 == 1)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     F.reverse("text").alias("text")))
+    incr = copies.unionByName(fresh)
+    if with_election_and_null:
+        fresh2 = fresh.select((F.col("doc_id") + 1_000_000)
+                              .alias("doc_id"), "text")
+        nullrow = spark.range(1).select(
+            F.lit(9_000_000).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("text"))
+        incr = incr.unionByName(fresh2).unionByName(nullrow)
+    return d, incr.repartition(spark.sparkContext.defaultParallelism)
+
+
+def q_dedup_incr(spark, sf):
+    """Incremental EXACT dedup (operators/incremental.py): the
+    snapshot-by-snapshot ingest shape — the increment anti-joins a
+    persisted key-width fingerprint manifest (history text is never
+    re-read), then elects keep-first within itself; NULL-fingerprint
+    rows always survive. The oracle replays the identical
+    whitespace-canonicalization rule on the text itself (the
+    fingerprint is a pure function of it, collision-free at fixture
+    scale)."""
+    from refined_spark.operators.incremental import (corpus_manifest,
+                                                     dedup_increment)
+
+    hist, incr = _increment_frames(spark, sf,
+                                   with_election_and_null=True)
+    kept = dedup_increment(incr, corpus_manifest(hist))
+    return kept.select("doc_id", "text").orderBy("doc_id")
+
+
+def q_dedup_incr_near(spark, sf):
+    """Incremental NEAR dedup (operators/incremental.py): the increment
+    bands its MinHash signatures against the persisted corpus signature
+    manifest (16-byte rows both sides) and condemns at
+    signature-estimated Jaccard >= tau~1 — exact-copy recall is 1 by
+    construction (identical shingle sets -> identical signatures -> all
+    bands collide, the dedup_minhash convention) and the reversed-text
+    fresh docs share no shingles with history, so the estimated
+    decision coincides with the oracle's exact canonical-text
+    equality."""
+    from refined_spark.operators.incremental import (dedup_increment_near,
+                                                     signature_manifest)
+
+    hist, incr = _increment_frames(spark, sf,
+                                   with_election_and_null=False)
+    kept = dedup_increment_near(incr, signature_manifest(hist),
+                                tau=0.999999)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_ann_cosine_topk(spark, sf):
     from refined_spark.operators.similarity import cosine_topk
 
@@ -1646,10 +1711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ones that fall outside the window (round-2 judge directive)."""
     return {
         # ===== ROUND-5 WINDOW (first 50 — SURVEY 7.8 item 1). =====
-        # --- never driver-verified: the six late-r4 gates (added after
-        #     the r4 window filled; r4 verdict Missing #1) + the three
-        #     new r5 gates (full curation chain, chain+packing,
-        #     packing-on-real-BPE-counts) ---
+        # --- never driver-verified: the two incremental
+        #     (cross-snapshot manifest) dedup gates, the six late-r4
+        #     gates (added after the r4 window filled; r4 verdict
+        #     Missing #1) + the three new r5 gates (full curation
+        #     chain, chain+packing, packing-on-real-BPE-counts) ---
+        "dedup_incr": q_dedup_incr,
+        "dedup_incr_near": q_dedup_incr_near,
         "line_dedup": q_line_dedup,
         "line_boilerplate": q_line_boilerplate,
         "seq_pack": q_seq_pack,
@@ -3370,6 +3438,62 @@ def oracle_sql() -> dict[str, str]:
             select a.doc_id as id_a, b.doc_id as id_b
             from c a join c b on a.h = b.h and a.doc_id < b.doc_id
             order by id_a, id_b
+        """,
+        # incremental (cross-snapshot manifest) dedup: the replay
+        # re-derives the decision from the canonical TEXT itself — the
+        # fingerprint/signature manifests are pure functions of it
+        # (collision-free at fixture scale; reverse() makes fresh docs
+        # shingle-disjoint so the near estimator and exact equality
+        # agree). NOT EXISTS (anti-join-shaped) so NULL-canon rows
+        # survive; the keep-first election filter passes every NULL
+        # row regardless of its row_number.
+        "dedup_incr": """
+            with d as (select doc_id, text from documents),
+            incr as (
+              select doc_id + 1000000 as doc_id, text
+              from d where doc_id % 3 = 0
+              union all
+              select doc_id + 2000000, reverse(text)
+              from d where doc_id % 3 = 1
+              union all
+              select doc_id + 3000000, reverse(text)
+              from d where doc_id % 3 = 1
+              union all
+              select 9000000, cast(null as varchar)
+            ),
+            hist as (select distinct
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                     from d where text is not null),
+            probe as (select doc_id, text,
+                        regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                      from incr),
+            fresh as (select * from probe p
+                      where not exists (select 1 from hist h
+                                        where h.c = p.c)),
+            ranked as (select doc_id, text, c,
+                         row_number() over (partition by c
+                                            order by doc_id) rn
+                       from fresh)
+            select doc_id, text from ranked
+            where c is null or rn = 1
+            order by doc_id
+        """,
+        "dedup_incr_near": """
+            with d as (select doc_id, text from documents),
+            incr as (
+              select doc_id + 1000000 as doc_id, text
+              from d where doc_id % 3 = 0
+              union all
+              select doc_id + 2000000, reverse(text)
+              from d where doc_id % 3 = 1
+            ),
+            hist as (select distinct
+                       regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                     from d)
+            select doc_id from incr p
+            where not exists (select 1 from hist h
+              where h.c = regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
+            order by doc_id
         """,
         "ann_cosine_topk": """
             with e as (

@@ -248,6 +248,44 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                   for i in range(num_perm)]).alias("sig"))
 
 
+def band_buckets(signatures: DataFrame,
+                 bands: int = config.MINHASH_BANDS) -> DataFrame:
+    """(id, band, bucket) band keys of a signature frame — the LSH
+    bucketing step shared by :func:`lsh_candidate_pairs` (within-corpus
+    pair join) and incremental.dedup_increment_near (increment-vs-
+    manifest join). Zero signatures are excluded (the empty-doc
+    mega-bucket guard — see lsh_candidate_pairs) and the signature
+    frame is persisted via track(): sig is an inlinable Column chain,
+    so without the barrier Catalyst re-evaluates the full per-shingle
+    hash pipeline once per band per consumer."""
+    signatures = track(
+        signatures.where(F.exists("sig", lambda x: x != F.lit(0))))
+    sig_len = F.size("sig")
+    rows_per_band = (sig_len / bands).cast("int")
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"),
+             F.col("bk.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame,
                         bands: int = config.MINHASH_BANDS,
                         max_bucket: int | None = config.LSH_MAX_BUCKET,
@@ -272,39 +310,12 @@ def lsh_candidate_pairs(signatures: DataFrame,
       counted eagerly and logged at WARNING. ``max_bucket=None`` disables
       the cap (exactness-test escape hatch).
     """
-    # persist the SIGNATURE frame: sig is a plain (inlinable) Column
-    # expression since the JVM rewrite, so without a materialization
-    # barrier Catalyst would re-evaluate the full per-shingle hash chain
-    # once per band × once per join side. Rows are (id, num_perm longs):
-    # signature-sized even at 10^9 docs (a cluster job would checkpoint
-    # this as a stage table). The derived band expr below is 8 cheap
-    # fixed-width hashes per cached row per consumer.
-    signatures = track(
-        signatures.where(F.exists("sig", lambda x: x != F.lit(0))))
-    sig_len = F.size("sig")
-    rows_per_band = (sig_len / bands).cast("int")
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1,
-                                        rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"),
-             F.col("bk.bucket").alias("bucket"))
+    # banding persists the SIGNATURE frame (track() inside
+    # band_buckets): rows are (id, num_perm longs) — signature-sized
+    # even at 10^9 docs (a cluster job would checkpoint this as a
+    # stage table). The derived band expr is 8 cheap fixed-width
+    # hashes per cached row per consumer.
+    banded = band_buckets(signatures, bands)
     if max_bucket is not None:
         # count pre-pass over the (band, bucket) census — bucket-scale
         # rows, computed from the cached signatures. The eager count is

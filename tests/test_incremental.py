@@ -1,0 +1,160 @@
+"""operators/incremental.py — cross-snapshot (manifest) dedup.
+
+Pins what the driver gate can't isolate: the NULL-fingerprint
+pass-through, within-increment keep-first, column-order preservation,
+broadcast/shuffle parity, manifest roll-forward idempotence, the
+near-dup estimator, tau monotonicity, the empty-doc zero-signature
+guard, and the manifest-side bucket-cap census.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from refined_spark.operators.incremental import (advance_manifest,
+                                                 content_fingerprint,
+                                                 corpus_manifest,
+                                                 dedup_increment,
+                                                 dedup_increment_near,
+                                                 estimated_jaccard,
+                                                 signature_manifest)
+
+_HIST = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "sphinx of black quartz judge my vow"),
+]
+_INCR = [
+    # exact copy of history 0 (whitespace-canonicalized) -> drops
+    (10, "  the quick  brown fox jumps over the lazy dog "),
+    # brand new -> kept
+    (11, "jackdaws love my big sphinx of quartz"),
+    # within-increment copies of each other (not in history):
+    # keep-first elects 12
+    (12, "how vexingly quick daft zebras jump"),
+    (13, "how vexingly  quick daft zebras jump"),
+    # NULL text -> NULL fingerprint -> always kept
+    (14, None),
+    (15, None),
+]
+
+
+def _frames(spark):
+    hist = spark.createDataFrame(_HIST, "doc_id long, text string")
+    incr = spark.createDataFrame(_INCR, "doc_id long, text string")
+    return hist, incr
+
+
+def test_exact_increment_cut_and_keep_first(spark):
+    hist, incr = _frames(spark)
+    kept = dedup_increment(incr, corpus_manifest(hist))
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 12, 14, 15]
+
+
+def test_null_fingerprint_is_null_and_empty_is_a_key(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "x")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", content_fingerprint().alias("fp")).collect()}
+    assert got[0] is None
+    # empty and whitespace-only canonicalize to "" — a VALID shared key
+    # (byte-identical empties are true duplicates), unlike NULL
+    assert got[1] == got[2] and got[1] is not None
+    assert got[3] not in (None, got[1])
+
+
+def test_column_order_preserved_and_broadcast_parity(spark):
+    hist, _ = _frames(spark)
+    # id column deliberately NOT first — the r5 schema-preservation bar
+    incr = spark.createDataFrame(
+        [("u10", _HIST[0][1], 10), ("u11", "totally new page", 11)],
+        "url string, text string, doc_id long")
+    a = dedup_increment(incr, corpus_manifest(hist),
+                        broadcast_manifest=True)
+    b = dedup_increment(incr, corpus_manifest(hist),
+                        broadcast_manifest=False)
+    assert a.columns == incr.columns == b.columns
+    assert [r.doc_id for r in a.collect()] == [11]
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_advance_manifest_makes_rerun_empty(spark):
+    """Rolling the manifest forward then replaying the SAME increment
+    drops everything with a non-null fingerprint — the resume/idempotence
+    contract a snapshot-by-snapshot ingest needs."""
+    hist, incr = _frames(spark)
+    m0 = corpus_manifest(hist)
+    kept = dedup_increment(incr, m0)
+    m1 = advance_manifest(m0, kept)
+    again = dedup_increment(incr, m1)
+    assert sorted(r.doc_id for r in again.collect()) == [14, 15]
+    # manifest grew by exactly the kept distinct fingerprints (11, 12)
+    assert m1.count() == m0.count() + 2
+
+
+def test_estimated_jaccard_bounds(spark):
+    df = spark.createDataFrame(
+        [(list(range(8)), list(range(8)), 1.0),
+         ([1, 2, 3, 4], [1, 2, 0, 0], 0.5),
+         ([1, 2], [3, 4], 0.0)],
+        "a array<long>, b array<long>, want double")
+    got = df.select(estimated_jaccard(F.col("a"), F.col("b"))
+                    .alias("j"), "want").collect()
+    assert all(abs(r.j - r.want) < 1e-12 for r in got)
+
+
+def test_near_increment_condemns_copies_keeps_fresh(spark):
+    hist, _ = _frames(spark)
+    incr = spark.createDataFrame([
+        (20, _HIST[1][1]),                       # exact copy -> drop
+        (21, "jackdaws love my big sphinx of quartz"),   # fresh -> keep
+        (22, ""),                                # zero-sig: NEVER banded
+    ], "doc_id long, text string")
+    man = signature_manifest(hist)
+    kept = dedup_increment_near(incr, man, tau=0.999999)
+    assert sorted(r.doc_id for r in kept.collect()) == [21, 22]
+    assert kept.columns == incr.columns
+
+
+def test_near_tau_monotone_on_edited_doc(spark):
+    """One word changed: condemned at a loose tau, kept at tau~1 —
+    the estimator actually discriminates, the gate isn't exact-only."""
+    hist, _ = _frames(spark)
+    edited = _HIST[0][1].replace("lazy", "sleepy")
+    incr = spark.createDataFrame([(30, edited)],
+                                 "doc_id long, text string")
+    man = signature_manifest(hist)
+    loose = dedup_increment_near(incr, man, tau=0.2)
+    strict = dedup_increment_near(incr, man, tau=0.999999)
+    assert loose.count() == 0 and strict.count() == 1
+
+
+def test_manifest_bucket_cap_census(spark, caplog):
+    """A degenerate manifest bucket (many identical corpus docs) is
+    dropped by the count pre-pass with an eager WARNING — the increment
+    doc that only matches there survives; cap=None restores the match."""
+    hist = spark.createDataFrame(
+        [(i, "same boilerplate page body here") for i in range(12)],
+        "doc_id long, text string")
+    incr = spark.createDataFrame(
+        [(50, "same boilerplate page body here")],
+        "doc_id long, text string")
+    man = signature_manifest(hist)
+    import logging
+    with caplog.at_level(logging.WARNING,
+                         logger="refined_spark.operators.incremental"):
+        capped = dedup_increment_near(incr, man, tau=0.9, max_bucket=5)
+    assert capped.count() == 1
+    assert any("dropped" in r.message for r in caplog.records)
+    uncapped = dedup_increment_near(incr, man, tau=0.9, max_bucket=None)
+    assert uncapped.count() == 0
+
+
+def test_helper_column_collision(spark):
+    hist, _ = _frames(spark)
+    incr = spark.createDataFrame(
+        [(60, "brand new text", "caller-owned")],
+        "doc_id long, text string, _fp string")
+    out = dedup_increment(incr, corpus_manifest(hist))
+    assert out.columns == incr.columns
+    assert out.collect()[0]._fp == "caller-owned"
