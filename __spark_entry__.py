@@ -1510,6 +1510,27 @@ def q_stream_dedup(spark, sf):
     return out.orderBy("content_hash")
 
 
+def q_stream_incr(spark, sf):
+    """REAL streaming execution of the cross-snapshot manifest cut:
+    the documents table arrives as a file stream and anti-joins the
+    STATIC fingerprint manifest built from its even-id half
+    (stream-static left_outer + null filter — stateless, no watermark;
+    Spark has no stream-static left_anti). Kept = rows whose canonical
+    text the manifest lacks; the DuckDB oracle replays the identical
+    canonicalization + NOT EXISTS."""
+    from refined_spark.operators.incremental import corpus_manifest
+    from refined_spark.streaming.events import (
+        run_stream_to_batch, streaming_dedup_against_manifest)
+
+    batch = _t(spark, sf, "documents")
+    hist = batch.where(F.col("doc_id") % 2 == 0)
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .load(_stream_src(sf, "documents")))
+    out = run_stream_to_batch(
+        streaming_dedup_against_manifest(stream, corpus_manifest(hist)))
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_stream_totals(spark, sf):
     """REAL streaming execution of the applyInPandasWithState running
     totals (custom stateful operator: per-event_type (count, sum) carried
@@ -1738,9 +1759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     drop_high_perplexity) -> lm_quality;
         #     bpe.py (driver fast-path trainer) -> bpe_train above +
         #     bpe_tokens (encode path, same module);
-        #     lines.py / urlfilter.py / psl.py (PSL-snapshot cascade,
-        #     sep-literal split) -> line_dedup/line_boilerplate/
-        #     url_block above ---
+        #     lines.py / urlfilter.py / psl.py (PSL-snapshot cascade
+        #     incl. wildcard/exception arms, sep-literal split) ->
+        #     line_dedup/line_boilerplate/url_block above;
+        #     dedup.py (band_buckets factored out of
+        #     lsh_candidate_pairs) -> dedup_incr_near above (drives
+        #     band_buckets itself) + curate_full (the near-dup stage
+        #     drives lsh_candidate_pairs) + dedup_survivors below ---
         "curate_corpus": q_curate_corpus,
         "lm_quality": q_lm_quality,
         "bpe_tokens": q_bpe_tokens,
@@ -1755,19 +1780,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": q_candidates,
         "class_check": q_class_check,
         "media_resize": q_media_resize,
-        "media_frames": q_media_frames,
         "ingest_resume": q_ingest_resume,
         "candidates_backward": q_candidates_backward,
         "ann_ivf": q_ann_ivf,
         "partitioned_scan": q_partitioned_scan,
         "dedup_cosine": q_dedup_cosine,
         "media_features": q_media_features,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "ann_lsh": q_ann_lsh,
         "ann_banded": q_ann_banded,
         "ann_recall": q_ann_recall,
         "stream_dedup": q_stream_dedup,
+        "stream_incr": q_stream_incr,
         "stream_totals": q_stream_totals,
         "stream_window_counts": q_stream_window_counts,
         "cluster_pairs": q_cluster_pairs,
@@ -1792,6 +1815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "dedup_survivors": q_dedup_survivors,
         "decontam": q_decontam,
+        # --- demoted to make window room for the three never-verified
+        #     r5 incremental-dedup gates: r3-green entries whose
+        #     modules are unchanged AND double-covered by in-window
+        #     siblings (multimodal.py by media_resize/media_features;
+        #     simhash sigs consumed by simhash_pairs; similarity.py by
+        #     ann_banded/ann_recall/ann_ivf/dedup_cosine) ---
+        "media_frames": q_media_frames,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
         # ===== END WINDOW (50 entries above) =====
         # Everything below is green in CORRECTNESS_r04.json and its
         # module is untouched in r5: the round-4 additions (AIDA/
@@ -3586,6 +3618,15 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             select distinct md5(text) as content_hash
             from documents order by content_hash
+        """,
+        "stream_incr": """
+            with hist as (select distinct
+                            regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                          from documents where doc_id % 2 = 0)
+            select doc_id from documents p
+            where not exists (select 1 from hist h
+              where h.c = regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
+            order by doc_id
         """,
         "stream_totals": """
             select event_type, count(*) as n_events,

@@ -127,10 +127,31 @@ def run_headline_queries() -> dict[str, float]:
                 os.path.join(SF_DIR, "documents.parquet"))
             return pack_manifest(docs, seq_len=2048, n_shards=CPUS)
 
+        # r5: incremental cross-snapshot dedup at corpus scale —
+        # manifest build over half the corpus (even ids) + the cut of
+        # a same-size increment where half the rows are exact copies
+        # (must drop via the key-width anti join) and half are the
+        # corpus's own odd-id docs (distinct texts — kept)
+        def _dedup_incr():
+            from pyspark.sql import functions as F
+
+            from refined_spark.operators.incremental import (
+                corpus_manifest, dedup_increment)
+            docs = spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")).select(
+                "doc_id", "text")
+            hist = docs.where(F.col("doc_id") % 2 == 0)
+            incr = (docs.where(F.col("doc_id") % 2 == 1)
+                    .unionByName(hist.select(
+                        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                        "text")))
+            return dedup_increment(incr, corpus_manifest(hist))
+
         for name, make in [("pii_scrub", _pii_scrub),
                            ("decontam", _decontam),
                            ("line_dedup", _line_dedup),
-                           ("seq_pack", _seq_pack)]:
+                           ("seq_pack", _seq_pack),
+                           ("dedup_incr", _dedup_incr)]:
             make().write.format("noop").mode("overwrite").save()
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()

@@ -63,6 +63,33 @@ def streaming_dedup_first_seen(docs: DataFrame,
     return src.select("content_hash")
 
 
+def streaming_dedup_against_manifest(docs: DataFrame,
+                                     manifest: DataFrame,
+                                     text_col: str = "text",
+                                     ) -> DataFrame:
+    """Cross-snapshot dedup as a stream: the arriving increment
+    anti-joins the STATIC corpus fingerprint manifest
+    (incremental.corpus_manifest — key-width history state). Spark
+    does not support stream-static left_anti, so the stateless
+    equivalent is left_outer against the static side + null filter:
+    no state store, no watermark — history membership is a property of
+    the static frame, not of stream time. Composes with
+    :func:`streaming_dedup_first_seen` (within-stream state) the way
+    incremental.dedup_increment composes its manifest cut with the
+    batch keep-first election. Schema preserved."""
+    from ..operators.incremental import content_fingerprint
+
+    helper = "_fp"
+    while helper in docs.columns:
+        helper += "_"
+    probe = docs.withColumn(helper, content_fingerprint(text_col))
+    m = manifest.select(F.col("fingerprint").alias(helper),
+                        F.lit(True).alias("_hit"))
+    fresh = (probe.join(m, [helper], "left_outer")
+             .where(F.col("_hit").isNull()))
+    return fresh.select(*docs.columns)
+
+
 RUNNING_TOTALS_SCHEMA = ("event_type string, n_events long, "
                          "value_sum double")
 _RUNNING_STATE_SCHEMA = "n long, s double"

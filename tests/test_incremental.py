@@ -150,6 +150,29 @@ def test_manifest_bucket_cap_census(spark, caplog):
     assert uncapped.count() == 0
 
 
+def test_streaming_increment_against_manifest(spark, tmp_path_factory):
+    """The stream-static variant drops manifest-known docs per
+    micro-batch with NO state store, keeps NULL-text rows, and agrees
+    with the batch manifest cut on the same increment."""
+    from refined_spark.operators.incremental import corpus_manifest
+    from refined_spark.streaming.events import (
+        run_stream_to_batch, streaming_dedup_against_manifest)
+
+    hist, incr = _frames(spark)
+    src = str(tmp_path_factory.mktemp("incr_src"))
+    incr.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(incr.schema)
+              .format("parquet").option("maxFilesPerTrigger", 1)
+              .load(src))
+    out = run_stream_to_batch(
+        streaming_dedup_against_manifest(stream, corpus_manifest(hist)))
+    got = sorted(r.doc_id for r in out.collect())
+    # no within-stream election here (that is streaming_dedup_first_seen's
+    # job): both copies of the fresh pair and both NULL rows pass
+    assert got == [11, 12, 13, 14, 15]
+    assert out.columns == incr.columns
+
+
 def test_helper_column_collision(spark):
     hist, _ = _frames(spark)
     incr = spark.createDataFrame(
