@@ -112,6 +112,36 @@ def advance_manifest(manifest: DataFrame, kept_docs: DataFrame,
         corpus_manifest(kept_docs, text_col)).distinct()
 
 
+def save_manifest(manifest: DataFrame, table: str,
+                  n_buckets: int = 256, path: str | None = None) -> None:
+    """Persist the fingerprint manifest BUCKETED by its join key
+    (``bucketBy`` + ``saveAsTable`` — bucket metadata lives in the
+    catalog, which is why this is a table write, not a plain parquet
+    path). At corpus scale the manifest is the big side of every future
+    increment's anti join: bucketed, a sort-merge anti join reads it
+    exchange-free and only the increment's own keys shuffle (to the
+    manifest's bucket count) — the property
+    ``test_bucketed_manifest_join_shuffles_increment_only`` pins on the
+    physical plan. Size ``n_buckets`` so one bucket's fingerprints fit
+    an executor core comfortably (8 B/doc: 2^12 buckets at 10^12 docs
+    ≈ 2 GB/bucket raw) AND run the increment join with
+    ``spark.sql.shuffle.partitions`` equal to it — with more shuffle
+    partitions than buckets Spark re-shuffles the bucketed side up to
+    the larger number, forfeiting the whole point."""
+    w = (manifest.write.mode("overwrite")
+         .bucketBy(n_buckets, "fingerprint").sortBy("fingerprint"))
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def load_manifest(spark, table: str) -> DataFrame:
+    """The persisted manifest with its bucketing metadata attached (a
+    plain ``spark.read.parquet`` of the same files would lose it and
+    re-shuffle the corpus side of every increment join)."""
+    return spark.table(table)
+
+
 def signature_manifest(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        num_perm: int = config.MINHASH_PERMS,

@@ -173,6 +173,49 @@ def test_streaming_increment_against_manifest(spark, tmp_path_factory):
     assert out.columns == incr.columns
 
 
+def test_bucketed_manifest_join_shuffles_increment_only(spark, tmp_path):
+    """save_manifest/load_manifest: the persisted-bucketed manifest
+    side of the anti join reads EXCHANGE-FREE (its bucketing satisfies
+    the join's required distribution) — only the increment shuffles.
+    This is the property that makes the cut affordable at 10^12-doc
+    manifests; pinned on the physical plan with broadcast disabled so
+    the sort-merge path (the at-scale strategy) is what's audited."""
+    from refined_spark.operators.incremental import (corpus_manifest,
+                                                     load_manifest,
+                                                     save_manifest)
+
+    hist, incr = _frames(spark)
+    save_manifest(corpus_manifest(hist), "t_incr_manifest",
+                  n_buckets=4, path=str(tmp_path / "manifest"))
+    try:
+        man = load_manifest(spark, "t_incr_manifest")
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # shuffle partitions must equal the bucket count or Spark
+        # re-shuffles the BUCKETED side up to the larger number — the
+        # at-scale sizing rule the save_manifest docstring states
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            kept = dedup_increment(incr, man)
+            assert sorted(r.doc_id for r in kept.collect()) == \
+                [11, 12, 14, 15]
+            plan = kept._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        # AQE's toString carries BOTH the final and the initial plan —
+        # audit the final one only
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final and "Bucketed: true" in final
+        # exactly ONE hash-partitioning exchange: the increment side
+        # (the window election reuses the join's output partitioning,
+        # and the bucketed manifest side never exchanges)
+        assert final.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.sql("drop table if exists t_incr_manifest")
+
+
 def test_helper_column_collision(spark):
     hist, _ = _frames(spark)
     incr = spark.createDataFrame(
