@@ -3522,8 +3522,15 @@ def oracle_sql() -> dict[str, str]:
             hist as (select distinct
                        regexp_replace(trim(text), '\\s+', ' ', 'g') c
                      from d)
+            -- zero-signature carve-out: an empty/whitespace-only doc
+            -- has no shingles, never bands, and is KEPT by the near
+            -- path even if history holds an identical empty (mirrors
+            -- minhash_signatures' zero-sig convention; vacuous on
+            -- today's fixture, future-proofs a regen)
             select doc_id from incr p
-            where not exists (select 1 from hist h
+            where regexp_replace(trim(p.text), '\\s+', ' ', 'g') = ''
+               or p.text is null
+               or not exists (select 1 from hist h
               where h.c = regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
             order by doc_id
         """,

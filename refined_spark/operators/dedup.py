@@ -249,7 +249,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def band_buckets(signatures: DataFrame,
-                 bands: int = config.MINHASH_BANDS) -> DataFrame:
+                 bands: int = config.MINHASH_BANDS,
+                 persist: bool = True) -> DataFrame:
     """(id, band, bucket) band keys of a signature frame — the LSH
     bucketing step shared by :func:`lsh_candidate_pairs` (within-corpus
     pair join) and incremental.dedup_increment_near (increment-vs-
@@ -257,9 +258,14 @@ def band_buckets(signatures: DataFrame,
     mega-bucket guard — see lsh_candidate_pairs) and the signature
     frame is persisted via track(): sig is an inlinable Column chain,
     so without the barrier Catalyst re-evaluates the full per-shingle
-    hash pipeline once per band per consumer."""
-    signatures = track(
-        signatures.where(F.exists("sig", lambda x: x != F.lit(0))))
+    hash pipeline once per band per consumer. Pass ``persist=False``
+    when the signatures are a PERSISTED table, not a computed chain —
+    a corpus-scale parquet-backed manifest re-reads cheaply and would
+    blow executor storage if cached per call."""
+    signatures = signatures.where(
+        F.exists("sig", lambda x: x != F.lit(0)))
+    if persist:
+        signatures = track(signatures)
     sig_len = F.size("sig")
     rows_per_band = (sig_len / bands).cast("int")
     return signatures.select(

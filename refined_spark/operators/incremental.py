@@ -96,8 +96,18 @@ def dedup_increment(new_docs: DataFrame, manifest: DataFrame,
     if broadcast_manifest:
         m = F.broadcast(m)
     fresh = probe.join(m, [helper], "left_anti")
+    # NULL fingerprints all pass the election, but a bare
+    # partitionBy(fingerprint) would still funnel EVERY NULL-text row
+    # (the docstring's extraction-failed scenario — can be millions on
+    # a crawl increment) into one window partition to sort a number
+    # nobody reads. Salting the partition key with the id for NULL
+    # rows gives each its own partition (rn=1, passes anyway) and
+    # leaves non-null keys untouched — the zero-signature mega-bucket
+    # discipline applied to the election exchange.
+    salt = F.when(F.col(helper).isNull(),
+                  F.col(id_col)).otherwise(F.lit(0))
     rn = F.row_number().over(
-        Window.partitionBy(helper).orderBy(F.col(id_col)))
+        Window.partitionBy(F.col(helper), salt).orderBy(F.col(id_col)))
     kept = (fresh.withColumn("_rn", rn)
             .where(F.col(helper).isNull() | (F.col("_rn") == 1)))
     return kept.select(*new_docs.columns)
@@ -157,11 +167,21 @@ def signature_manifest(docs: DataFrame, id_col: str = "doc_id",
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     """MinHash-estimated Jaccard: fraction of equal signature
     components — the standard unbiased estimator, computed JVM-side on
-    the (bounded) candidate pairs only."""
+    the (bounded) candidate pairs only. Unequal signature lengths FAIL
+    LOUDLY (assert_true): a ``num_perm`` drift between a long-lived
+    persisted manifest and a later increment run would otherwise
+    silently deflate every estimate (zip_with null-pads — an exact
+    copy at 32-vs-64 perms would score 0.5 and be re-admitted)."""
     eq = F.zip_with(sig_a, sig_b,
                     lambda x, y: F.when(x == y, 1).otherwise(0))
-    return (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
-            / F.size(sig_a))
+    guard = F.assert_true(
+        F.size(sig_a) == F.size(sig_b),
+        F.lit("estimated_jaccard: signature length mismatch — the "
+              "manifest and the increment were signed with different "
+              "num_perm"))
+    return (F.when(guard.isNull(),
+                   F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+                   / F.size(sig_a)))
 
 
 def dedup_increment_near(new_docs: DataFrame, sig_manifest: DataFrame,
@@ -171,7 +191,7 @@ def dedup_increment_near(new_docs: DataFrame, sig_manifest: DataFrame,
                          bands: int = config.MINHASH_BANDS,
                          tau: float = 0.8,
                          max_bucket: int | None = config.LSH_MAX_BUCKET,
-                         ) -> DataFrame:
+                         persist_manifest: bool = True) -> DataFrame:
     """The increment minus documents NEAR-duplicating the corpus,
     schema and column order preserved.
 
@@ -185,12 +205,17 @@ def dedup_increment_near(new_docs: DataFrame, sig_manifest: DataFrame,
     more than ``max_bucket`` corpus docs is a degenerate key (its
     members re-pair in their other bands) and would fan every matching
     increment doc out ``bucket``-wide; drops are counted eagerly and
-    logged, never silent."""
+    logged, never silent. ``persist_manifest=False`` skips caching the
+    manifest-side signatures (band_buckets' track barrier): right when
+    the manifest is a parquet-backed table bigger than cluster cache —
+    its consumers (census, band join, verify fetch) then re-scan
+    instead of re-computing, which is what a stored table makes
+    cheap."""
     new_sigs = minhash_signatures(new_docs, id_col=id_col,
                                   text_col=text_col,
                                   num_perm=num_perm, k=k)
     inc_b = band_buckets(new_sigs, bands)
-    man_b = band_buckets(sig_manifest, bands)
+    man_b = band_buckets(sig_manifest, bands, persist=persist_manifest)
     if max_bucket is not None:
         big = (man_b.groupBy("band", "bucket")
                .agg(F.count(F.lit(1)).alias("n"))

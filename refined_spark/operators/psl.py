@@ -156,7 +156,8 @@ _CC_SECOND_LEVEL: dict[str, tuple[str, ...]] = {
            "net", "org"),
     "vn": ("ac", "biz", "com", "edu", "gov", "health", "info", "int",
            "name", "net", "org", "pro"),
-    "kh": ("com", "edu", "gov", "mil", "net", "org", "per"),
+    # kh is a WILDCARD registry in the published file (*.kh) — carried
+    # in WILDCARD_1 below, not as exact second-level entries
     "bn": ("com", "edu", "gov", "net", "org"),
     "kz": ("com", "edu", "gov", "mil", "net", "org"),
     "uz": ("co", "com", "net", "org"),
@@ -256,13 +257,16 @@ SUFFIXES_3: tuple[str, ...] = tuple(
 # extra cascade arms with the exceptions tested FIRST — exception >
 # wildcard > exact-longest is the published prevailing-rule order.
 WILDCARD_1: tuple[str, ...] = (
-    "bd", "ck", "er", "fk", "jm", "mm", "np", "pg")
-WILDCARD_2: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+# the Japanese municipal geo bases (which carry the !city exceptions)
+# plus the UK schools registry *.sch.uk (exception-free)
+_JP_GEO: tuple[str, ...] = (
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
     "sapporo.jp", "sendai.jp", "yokohama.jp")
+WILDCARD_2: tuple[str, ...] = _JP_GEO + ("sch.uk",)
 EXCEPTIONS_2: tuple[str, ...] = ("www.ck",)
 EXCEPTIONS_3: tuple[str, ...] = tuple(
-    f"city.{base}" for base in WILDCARD_2)
+    f"city.{base}" for base in _JP_GEO)
 
 
 class PslRules:
@@ -287,6 +291,11 @@ class PslRules:
     def __eq__(self, other):
         return isinstance(other, PslRules) and all(
             getattr(self, f) == getattr(other, f) for f in self.__slots__)
+
+    def __hash__(self):
+        # __eq__ alone would set __hash__ = None; keep value semantics
+        # (rule bundles as dict keys, e.g. memoized compiled cascades)
+        return hash(tuple(getattr(self, f) for f in self.__slots__))
 
     def __repr__(self):
         return ("PslRules(" + ", ".join(

@@ -79,14 +79,16 @@ def streaming_dedup_against_manifest(docs: DataFrame,
     batch keep-first election. Schema preserved."""
     from ..operators.incremental import content_fingerprint
 
-    helper = "_fp"
+    helper, hit = "_fp", "_hit"
     while helper in docs.columns:
         helper += "_"
+    while hit in docs.columns:
+        hit += "_"
     probe = docs.withColumn(helper, content_fingerprint(text_col))
     m = manifest.select(F.col("fingerprint").alias(helper),
-                        F.lit(True).alias("_hit"))
+                        F.lit(True).alias(hit))
     fresh = (probe.join(m, [helper], "left_outer")
-             .where(F.col("_hit").isNull()))
+             .where(F.col(hit).isNull()))
     return fresh.select(*docs.columns)
 
 

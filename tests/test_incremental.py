@@ -103,6 +103,32 @@ def test_estimated_jaccard_bounds(spark):
     assert all(abs(r.j - r.want) < 1e-12 for r in got)
 
 
+def test_estimated_jaccard_length_mismatch_fails_loudly(spark):
+    """num_perm drift between a long-lived manifest and a later
+    increment must ERROR, not silently deflate every estimate
+    (zip_with null-pads: an exact copy at 32-vs-64 perms would score
+    0.5 and be re-admitted)."""
+    df = spark.createDataFrame([([1, 2, 3, 4], [1, 2])],
+                               "a array<long>, b array<long>")
+    with pytest.raises(Exception, match="num_perm"):
+        df.select(estimated_jaccard(F.col("a"), F.col("b"))).collect()
+
+
+def test_near_persist_flag_parity(spark):
+    """persist_manifest=False (the parquet-backed corpus-manifest
+    setting) returns the identical cut."""
+    hist, _ = _frames(spark)
+    incr = spark.createDataFrame(
+        [(20, _HIST[1][1]), (21, "jackdaws love my big sphinx")],
+        "doc_id long, text string")
+    man = signature_manifest(hist)
+    a = dedup_increment_near(incr, man, tau=0.999999)
+    b = dedup_increment_near(incr, man, tau=0.999999,
+                             persist_manifest=False)
+    assert sorted(r.doc_id for r in a.collect()) == \
+        sorted(r.doc_id for r in b.collect()) == [21]
+
+
 def test_near_increment_condemns_copies_keeps_fresh(spark):
     hist, _ = _frames(spark)
     incr = spark.createDataFrame([

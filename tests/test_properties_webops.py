@@ -43,6 +43,10 @@ _HOSTS = st.one_of(
         lambda ls: ".".join(ls + ["kawasaki", "jp"])),
     st.lists(_LABEL, min_size=0, max_size=2).map(
         lambda ls: ".".join(ls + ["city", "kawasaki", "jp"])),
+    st.lists(_LABEL, min_size=1, max_size=2).map(
+        lambda ls: ".".join(ls + ["sch", "uk"])),
+    st.lists(_LABEL, min_size=1, max_size=2).map(
+        lambda ls: ".".join(ls + ["kh"])),
     st.tuples(st.integers(0, 255), st.integers(0, 255),
               st.integers(0, 255), st.integers(0, 255)).map(
         lambda t: ".".join(map(str, t))),

@@ -68,6 +68,13 @@ RULE_MATRIX = [
     ("https://city.kawasaki.jp/", "city.kawasaki.jp"),
     ("https://ward.city.kawasaki.jp/", "city.kawasaki.jp"),
     ("https://x.ward.city.sapporo.jp/", "city.sapporo.jp"),
+    # *.sch.uk (the exception-free 2-label wildcard base) and *.kh
+    # (a wildcard registry the closed exact list used to mis-model)
+    ("https://stalbans.herts.sch.uk/news", "stalbans.herts.sch.uk"),
+    ("https://deep.stalbans.herts.sch.uk/", "stalbans.herts.sch.uk"),
+    ("https://herts.sch.uk/", "herts.sch.uk"),   # suffix AS host
+    ("https://www.moe.gov.kh/", "moe.gov.kh"),
+    ("https://portal.moe.gov.kh/", "moe.gov.kh"),
 ]
 
 
@@ -251,12 +258,15 @@ def test_gen_psl_parser_and_emitter(tmp_path):
     parser (section bounds, comments, markers, IDNA, token split), the
     depth classifier with its out-of-scope report, the emitted fragment
     round-trip, and a parsed-tables PslRules driving the SQL emitter."""
+    import os
     import sys
-    sys.path.insert(0, "tools")
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools)
     try:
         from gen_psl import classify, emit_fragment, parse_psl
     finally:
-        sys.path.pop(0)
+        sys.path.remove(tools)
 
     parsed = parse_psl(_PSL_SAMPLE.splitlines())
     # private-section + outside-section rules never parse; the unicode
