@@ -870,6 +870,49 @@ def q_dedup_incr_near(spark, sf):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+_MODEL_W = {"one": 0.1, "n_kchars": 0.2, "alpha_ratio": 1.2,
+            "punct_ratio": -1.5, "stop_ratio": 0.8}
+_MODEL_TAU = 1.17  # nearest sf0.01 score sits 1.2e-5 away — far above
+                   # cross-engine float drift, and 259/500 keep (the
+                   # cut bites both ways)
+
+
+def q_quality_fit(spark, sf):
+    """Learned quality filter, FIT phase (operators/quality_model.py):
+    ridge regression's complete sufficient statistics — every pairwise
+    sum over [1, features..., label] — in ONE map-side-combining
+    aggregation (the only distributed cost of a model fit; the 5x5
+    solve is driver-side numpy, pytest-pinned by exact recovery of a
+    planted relationship). Label = the textstats composite
+    quality_score (the distillation target); the oracle replays
+    featurization and label from the module's own SQL emitters +
+    _QUALITY_SQL, so a drift in either arithmetic fails the hash."""
+    from refined_spark.operators.quality_model import (feature_columns,
+                                                       sufficient_stats)
+    from refined_spark.operators.textstats import with_quality
+
+    docs = with_quality(_t(spark, sf, "documents"))
+    return sufficient_stats(docs, feature_columns(),
+                            F.col("quality_score"), round_to=4)
+
+
+def q_model_cut(spark, sf):
+    """Learned quality filter, SCORE+CUT phase: pinned literal weights
+    compile into a pure-codegen dot-product filter (zero UDF, zero
+    join — fuses into the scan); output carries the rounded score per
+    surviving doc. The filter compares the UNROUNDED score on both
+    engines (rounding only the hashed output column)."""
+    from refined_spark.operators.quality_model import (
+        drop_low_model_score, model_score)
+
+    docs = _t(spark, sf, "documents")
+    kept = drop_low_model_score(docs, _MODEL_W, _MODEL_TAU)
+    return kept.select(
+        "doc_id",
+        F.round(model_score(_MODEL_W), 6).alias("model_score")
+    ).orderBy("doc_id")
+
+
 def q_ann_cosine_topk(spark, sf):
     from refined_spark.operators.similarity import cosine_topk
 
@@ -1739,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     chain, chain+packing, packing-on-real-BPE-counts) ---
         "dedup_incr": q_dedup_incr,
         "dedup_incr_near": q_dedup_incr_near,
+        "quality_fit": q_quality_fit,
+        "model_cut": q_model_cut,
         "line_dedup": q_line_dedup,
         "line_boilerplate": q_line_boilerplate,
         "seq_pack": q_seq_pack,
@@ -1785,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "partitioned_scan": q_partitioned_scan,
         "dedup_cosine": q_dedup_cosine,
-        "media_features": q_media_features,
         "simhash_pairs": q_simhash_pairs,
         "ann_banded": q_ann_banded,
         "ann_recall": q_ann_recall,
@@ -1795,7 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "cluster_pairs": q_cluster_pairs,
         "type_prune": q_type_prune,
-        "ngram_jaccard": q_ngram_jaccard,
         "number_detect": q_number_detect,
         "textstats": q_textstats,
         "snapshot_latest": q_snapshot_latest,
@@ -1824,6 +1867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        # (same demotion rationale, r5 quality-model gates: multimodal.py
+        #     still in-window via media_resize; jaccard_verify in-window
+        #     via curate_full's near-dup stage and dedup_minhash's
+        #     sibling path) ---
+        "media_features": q_media_features,
+        "ngram_jaccard": q_ngram_jaccard,
         # ===== END WINDOW (50 entries above) =====
         # Everything below is green in CORRECTNESS_r04.json and its
         # module is untouched in r5: the round-4 additions (AIDA/
@@ -2274,6 +2323,32 @@ def _snapshot_latest_oracle_sql() -> str:
         )
         select canonical_url, url, warc_ts, text, lang, n_snapshots
         from r where rn = 1 order by canonical_url
+    """
+
+
+def _quality_fit_oracle_sql() -> str:
+    """Sufficient-statistics replay EMITTED by the operator module
+    (sufficient_stats_sql — same feature atoms, same index pairing);
+    label = the textstats composite via _QUALITY_SQL (the pair the
+    textstats gate proved)."""
+    from refined_spark.operators.quality_model import (feature_sql,
+                                                       sufficient_stats_sql)
+
+    return sufficient_stats_sql("documents", feature_sql(),
+                                _QUALITY_SQL, round_to=4)
+
+
+def _model_cut_oracle_sql() -> str:
+    """Score+cut replay: the filter compares the UNROUNDED score (what
+    the Spark filter sees); only the output column rounds."""
+    from refined_spark.operators.quality_model import model_score_sql
+
+    raw = model_score_sql(_MODEL_W, round_to=None)
+    return f"""
+        select doc_id, round({raw}, 6) as model_score
+        from documents
+        where {raw} >= {_MODEL_TAU!r}
+        order by doc_id
     """
 
 
@@ -3471,6 +3546,12 @@ def oracle_sql() -> dict[str, str]:
             from c a join c b on a.h = b.h and a.doc_id < b.doc_id
             order by id_a, id_b
         """,
+        # learned quality filter: featurization + label replayed from
+        # the module's own SQL emitters (single definition site per
+        # feature; label = the proven _QUALITY_SQL pair of the
+        # textstats gate); the cut filter compares the UNROUNDED score
+        "quality_fit": _quality_fit_oracle_sql(),
+        "model_cut": _model_cut_oracle_sql(),
         # incremental (cross-snapshot manifest) dedup: the replay
         # re-derives the decision from the canonical TEXT itself — the
         # fingerprint/signature manifests are pure functions of it
