@@ -147,11 +147,27 @@ def run_headline_queries() -> dict[str, float]:
                         "text")))
             return dedup_increment(incr, corpus_manifest(hist))
 
+        # r5: learned-quality-filter FIT — the complete ridge
+        # sufficient statistics (one map-side-combining agg over the
+        # regex featurization; the exchange carries ~21 doubles per
+        # partition) at corpus scale
+        def _quality_fit():
+            from pyspark.sql import functions as F
+
+            from refined_spark.operators.quality_model import (
+                feature_columns, sufficient_stats)
+            from refined_spark.operators.textstats import with_quality
+            docs = with_quality(spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")))
+            return sufficient_stats(docs, feature_columns(),
+                                    F.col("quality_score"), round_to=4)
+
         for name, make in [("pii_scrub", _pii_scrub),
                            ("decontam", _decontam),
                            ("line_dedup", _line_dedup),
                            ("seq_pack", _seq_pack),
-                           ("dedup_incr", _dedup_incr)]:
+                           ("dedup_incr", _dedup_incr),
+                           ("quality_fit", _quality_fit)]:
             make().write.format("noop").mode("overwrite").save()
             t0 = time.time()
             make().write.format("noop").mode("overwrite").save()
