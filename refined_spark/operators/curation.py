@@ -66,7 +66,9 @@ def curate_corpus(snapshots: DataFrame, *,
                   line_dedup: bool = False,
                   boilerplate_min_docs: int | None = None,
                   near_dup_tau: float | None = None,
-                  near_dup_id_col: str = "doc_id") -> DataFrame:
+                  near_dup_id_col: str = "doc_id",
+                  model_weights: dict[str, float] | None = None,
+                  model_tau: float = 0.0) -> DataFrame:
     """snapshots(url, warc_ts, text, <strata_col>, …) → the curated,
     sampled corpus, input schema preserved (modulo the line stages'
     audit columns, which are dropped to keep the contract). See the
@@ -76,7 +78,9 @@ def curate_corpus(snapshots: DataFrame, *,
     entry (`curate_corpus`) keeps its exact 4-stage replay;
     ``blocklist`` switches on the urlfilter cut before the collapse,
     ``boilerplate_min_docs`` / ``line_dedup`` the lines.py stages
-    (boilerplate FIRST — see module docstring), and ``near_dup_tau``
+    (boilerplate FIRST — see module docstring), ``model_weights`` the
+    learned quality cut right after the LM cut (quality_model.py — a
+    zero-exchange literal-predicate stage), and ``near_dup_tau``
     the MinHash→Jaccard→survivor stage between the LM cut and the
     sample. Near-dup requires an integral per-page id column
     (``near_dup_id_col`` — the connected-components node contract);
@@ -113,6 +117,13 @@ def curate_corpus(snapshots: DataFrame, *,
         pages, host_tau, host_min_docs, url_col=url_col)
     lm = unigram_lm(kept_hosts)
     fluent = drop_high_perplexity(kept_hosts, lm, lm_tau, id_col=url_col)
+    if model_weights is not None:
+        # learned quality cut beside the statistical LM cut (the
+        # FineWeb-Edu-style placement): a literal dot-product filter —
+        # pure codegen, fuses into whatever plan feeds it, so the
+        # stage adds zero exchanges
+        from .quality_model import drop_low_model_score
+        fluent = drop_low_model_score(fluent, model_weights, model_tau)
     if near_dup_tau is not None:
         from .dedup import (drop_near_dups, jaccard_verify,
                             lsh_candidate_pairs, minhash_signatures)

@@ -69,6 +69,30 @@ def test_near_dup_stage_composes(spark, fx_t1):
     release_caches()
 
 
+def test_model_cut_stage_composes(spark, fx_t1):
+    """The learned-quality stage (quality_model weights) slots after
+    the LM cut: at a tau below every score it is byte-identical OFF
+    (the flags-off contract), at an interior tau it strictly shrinks
+    the curated corpus without admitting anything new — every survivor
+    was already a flags-off survivor (per-row hash sampling is
+    row-independent, so the subset relation is exact)."""
+    snaps = spark.read.parquet(
+        os.path.join(fx_t1, "crawl_snapshots.parquet"))
+    base = curate_corpus(snaps, **CFG)
+    w = {"one": 0.0, "n_kchars": 0.0, "alpha_ratio": 1.0,
+         "punct_ratio": 0.0, "stop_ratio": 0.0}  # score = alpha_ratio
+    idle = curate_corpus(snaps, **CFG, model_weights=w, model_tau=-1.0)
+    base_urls = {r.url for r in base.select("url").collect()}
+    assert {r.url for r in idle.select("url").collect()} == base_urls
+    from refined_spark.operators.quality_model import model_score
+    alphas = sorted(r.s for r in base.select(
+        model_score(w).alias("s")).collect())
+    tau = (alphas[len(alphas) // 2] + alphas[len(alphas) // 2 + 1]) / 2
+    cut = curate_corpus(snaps, **CFG, model_weights=w, model_tau=tau)
+    cut_urls = {r.url for r in cut.select("url").collect()}
+    assert cut_urls < base_urls and len(cut_urls) > 0
+
+
 def test_full_chain_on_curation_pages(spark, fx_t1):
     """The FULL 8-stage chain over the dedicated curation_pages
     fixture (every stage bites, each drop attributable to exactly one
