@@ -887,12 +887,19 @@ def q_quality_fit(spark, sf):
     quality_score (the distillation target); the oracle replays
     featurization and label from the module's own SQL emitters +
     _QUALITY_SQL, so a drift in either arithmetic fails the hash."""
-    from refined_spark.operators.quality_model import (feature_columns,
-                                                       sufficient_stats)
+    from refined_spark.operators.quality_model import sufficient_stats
     from refined_spark.operators.textstats import with_quality
 
     docs = with_quality(_t(spark, sf, "documents"))
-    return sufficient_stats(docs, feature_columns(),
+    # features from the SAME with_quality columns the label derives
+    # from (definitional tightness; an A/B showed codegen
+    # subexpression elimination already dedups the recompute — parity
+    # within host noise at sf0.1)
+    feats = {"n_kchars": F.col("n_chars") / F.lit(1000.0),
+             "alpha_ratio": F.col("alpha_ratio"),
+             "punct_ratio": F.col("punct_ratio"),
+             "stop_ratio": F.col("stop_ratio")}
+    return sufficient_stats(docs, feats,
                             F.col("quality_score"), round_to=4)
 
 
@@ -1820,8 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_f1": q_pairwise_f1,
         # --- r3-vintage evidence at the 2-round limit, rotated back IN
         #     (SURVEY 7.8 item 1: "refresh whatever r3-vintage evidence
-        #     approaches the 2-round limit") — all 32 entries whose
-        #     newest green row is r3 ---
+        #     approaches the 2-round limit") — every r3-vintage entry
+        #     except the five demoted below on the double-coverage
+        #     rationale ---
         "candidates": q_candidates,
         "class_check": q_class_check,
         "media_resize": q_media_resize,
@@ -1858,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "links": q_links,
         "dedup_survivors": q_dedup_survivors,
         "decontam": q_decontam,
+        # ===== END WINDOW — the driver checks the FIRST 50 entries
+        #       (everything below is outside the r5 window) =====
         # --- demoted to make window room for the three never-verified
         #     r5 incremental-dedup gates: r3-green entries whose
         #     modules are unchanged AND double-covered by in-window
@@ -1873,7 +1883,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     sibling path) ---
         "media_features": q_media_features,
         "ngram_jaccard": q_ngram_jaccard,
-        # ===== END WINDOW (50 entries above) =====
         # Everything below is green in CORRECTNESS_r04.json and its
         # module is untouched in r5: the round-4 additions (AIDA/
         # standard readers, pr_curve, ET, PII), the dedup/host/sampling

@@ -155,11 +155,15 @@ def run_headline_queries() -> dict[str, float]:
             from pyspark.sql import functions as F
 
             from refined_spark.operators.quality_model import (
-                feature_columns, sufficient_stats)
+                sufficient_stats)
             from refined_spark.operators.textstats import with_quality
             docs = with_quality(spark.read.parquet(
                 os.path.join(SF_DIR, "documents.parquet")))
-            return sufficient_stats(docs, feature_columns(),
+            feats = {"n_kchars": F.col("n_chars") / F.lit(1000.0),
+                     "alpha_ratio": F.col("alpha_ratio"),
+                     "punct_ratio": F.col("punct_ratio"),
+                     "stop_ratio": F.col("stop_ratio")}
+            return sufficient_stats(docs, feats,
                                     F.col("quality_score"), round_to=4)
 
         for name, make in [("pii_scrub", _pii_scrub),

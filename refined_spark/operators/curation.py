@@ -80,7 +80,10 @@ def curate_corpus(snapshots: DataFrame, *,
     ``boilerplate_min_docs`` / ``line_dedup`` the lines.py stages
     (boilerplate FIRST — see module docstring), ``model_weights`` the
     learned quality cut right after the LM cut (quality_model.py — a
-    zero-exchange literal-predicate stage), and ``near_dup_tau``
+    zero-exchange literal-predicate stage; the dict must carry the
+    intercept key ``one`` plus every default feature name —
+    ``n_kchars``/``alpha_ratio``/``punct_ratio``/``stop_ratio`` — as
+    ``fit_quality_model`` returns them), and ``near_dup_tau``
     the MinHash→Jaccard→survivor stage between the LM cut and the
     sample. Near-dup requires an integral per-page id column
     (``near_dup_id_col`` — the connected-components node contract);

@@ -38,15 +38,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # --- paired feature emitters (Spark Column, DuckDB SQL) ------------------
-# one definition site per feature: both engines compile from this table.
+# one definition site per feature: both engines compile from this table,
+# and the word-count atoms are IMPORTED from textstats (not re-typed) so
+# the quality_fit gate's label (textstats' composite score) and these
+# features can never desynchronize.
 
-_STOPWORDS = ("the", "and", "of", "to", "in")  # textstats EN markers
+from .textstats import _LANG_MARKERS, _count_word  # noqa: E402
+
+_STOPWORDS: tuple[str, ...] = tuple(_LANG_MARKERS["en"])
 
 
 def _stop_count(t: Column) -> Column:
-    return sum((F.size(F.regexp_extract_all(
-        F.lower(t), F.lit(rf"\b{w}\b"), 0)) for w in _STOPWORDS),
-        F.lit(0))
+    return sum((_count_word(t, w) for w in _STOPWORDS), F.lit(0))
 
 
 def _stop_count_sql(t: str) -> str:
@@ -136,18 +139,24 @@ def sufficient_stats(docs: DataFrame, features: dict[str, Column],
 
 
 def sufficient_stats_sql(table_expr: str, feature_sqls: dict[str, str],
-                         label_sql: str, round_to: int = 4) -> str:
+                         label_sql: str,
+                         round_to: int | None = 4) -> str:
     """DuckDB replay of :func:`sufficient_stats`, emitted from the
     same name order and index pairing — engines cannot drift
-    column-by-column."""
+    column-by-column. ``round_to=None`` mirrors the Spark twin's
+    unrounded (solve-path) mode."""
     names = ["one", *feature_sqls, "label"]
     exprs = ["1.0", *(f"({s})" for s in feature_sqls.values()),
              f"({label_sql})"]
-    outs = [
-        f"round(sum({exprs[i]} * {exprs[j]}), {round_to}) "
-        f"as s_{names[i]}_{names[j]}"
-        for i in range(len(names)) for j in range(i, len(names))
-    ]
+
+    def out(i, j):
+        raw = f"sum({exprs[i]} * {exprs[j]})"
+        if round_to is not None:
+            raw = f"round({raw}, {round_to})"
+        return f"{raw} as s_{names[i]}_{names[j]}"
+
+    outs = [out(i, j)
+            for i in range(len(names)) for j in range(i, len(names))]
     return "select " + ", ".join(outs) + f" from {table_expr}"
 
 
@@ -162,8 +171,19 @@ def solve_ridge(stats_row: dict, feature_names: list[str],
     names = ["one", *feature_names]
 
     def s(a: str, b: str) -> float:
-        return float(stats_row.get(f"s_{a}_{b}",
-                                   stats_row.get(f"s_{b}_{a}")))
+        v = stats_row.get(f"s_{a}_{b}", stats_row.get(f"s_{b}_{a}"))
+        if v is None:
+            # Spark's sum over ZERO rows is NULL — distinguish the
+            # empty-corpus case from a misspelled feature name instead
+            # of crashing in float(None)
+            if f"s_{a}_{b}" in stats_row or f"s_{b}_{a}" in stats_row:
+                raise ValueError(
+                    "solve_ridge: sufficient statistics are NULL — "
+                    "the input had no rows to fit")
+            raise KeyError(
+                f"solve_ridge: no statistic for ({a!r}, {b!r}) — "
+                f"feature names must match the sufficient_stats run")
+        return float(v)
 
     d = len(names)
     A = np.array([[s(names[i], names[j]) for j in range(d)]

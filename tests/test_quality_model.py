@@ -105,6 +105,20 @@ def test_model_score_sql_parity_and_filter_contract(spark):
     assert sorted(r.doc_id for r in kept.collect()) == want
 
 
+def test_solve_errors_are_diagnosable(spark):
+    """Zero-row input (Spark sums → NULL) and a misspelled feature
+    name must raise DISTINCT, readable errors — not float(None)."""
+    empty = _df(spark).where("doc_id < 0")
+    row = sufficient_stats(empty, feature_columns(),
+                           F.lit(1.0), round_to=None).first().asDict()
+    with pytest.raises(ValueError, match="no rows"):
+        solve_ridge(row, list(feature_columns()))
+    full = sufficient_stats(_df(spark), feature_columns(),
+                            F.lit(1.0), round_to=None).first().asDict()
+    with pytest.raises(KeyError, match="alpha_ratioo"):
+        solve_ridge(full, ["alpha_ratioo"])
+
+
 def test_ridge_shrinks_toward_zero():
     """Pure solver property on a hand-built stats row (2 points on
     y = x): l2=0 interpolates (slope 1), large l2 shrinks the slope."""
