@@ -168,3 +168,86 @@ def test_line_dedup_idempotent_and_monotone(spark, corpora):
     for i, lines in enumerate(corpora):
         if i in kept:
             assert kept[i] <= len(lines)
+
+
+# -------------------------------------------------------------- incremental
+
+_TEXTS = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=" abcdef\t", min_size=0, max_size=20)),
+    min_size=1, max_size=12)
+
+
+@given(_TEXTS, _TEXTS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_dedup_invariants(spark, hist_texts, incr_texts):
+    """For ARBITRARY history/increment corpora (incl. NULLs, empties,
+    whitespace variants): (1) the kept increment never shares a
+    non-null canonical text with history; (2) non-null canonical texts
+    are unique within the kept increment (keep-first); (3) every NULL
+    text survives; (4) replaying the increment against the
+    rolled-forward manifest leaves exactly the NULL rows — the
+    snapshot-ingest idempotence contract."""
+    import re as _re
+
+    from refined_spark.operators.incremental import (advance_manifest,
+                                                     corpus_manifest,
+                                                     dedup_increment)
+
+    def canon(t):
+        return None if t is None else _re.sub(r"\s+", " ", t.strip())
+
+    hist = spark.createDataFrame(
+        list(enumerate(hist_texts)), "doc_id long, text string")
+    incr = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(incr_texts)],
+        "doc_id long, text string")
+    m0 = corpus_manifest(hist)
+    kept = dedup_increment(incr, m0).collect()
+    hist_canon = {canon(t) for t in hist_texts if t is not None}
+    kept_canon = [canon(r.text) for r in kept if r.text is not None]
+    assert not (set(kept_canon) & hist_canon)
+    assert len(kept_canon) == len(set(kept_canon))
+    n_null = sum(1 for t in incr_texts if t is None)
+    assert sum(1 for r in kept if r.text is None) == n_null
+    kept_df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in kept] or [(0, "x")],
+        "doc_id long, text string")
+    again = dedup_increment(incr, advance_manifest(m0, kept_df))
+    assert again.where("text is not null").count() == (
+        0 if kept else incr.where("text is not null").count())
+
+
+# ------------------------------------------------------------ quality_model
+
+_QM_TEXTS = st.lists(
+    st.text(alphabet=" abcdefgh.,!", min_size=1, max_size=40),
+    min_size=2, max_size=10)
+
+
+@given(_QM_TEXTS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sufficient_stats_gram_matrix_is_psd(spark, texts):
+    """For ANY corpus the unrounded sufficient-statistics matrix over
+    [1, features..., label] is a Gram matrix Z^T Z — symmetric PSD by
+    construction. A negative eigenvalue beyond fp noise would mean the
+    pairwise sums do not come from one consistent design matrix (the
+    class of bug a wrong index pairing or a per-column NULL asymmetry
+    would introduce)."""
+    import numpy as np
+
+    from refined_spark.operators.quality_model import (feature_columns,
+                                                       sufficient_stats)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    row = sufficient_stats(docs, feature_columns(),
+                           F.length("text").cast("double"),
+                           round_to=None).first().asDict()
+    names = ["one", *feature_columns(), "label"]
+    G = np.array([[row.get(f"s_{a}_{b}", row.get(f"s_{b}_{a}"))
+                   for b in names] for a in names])
+    assert np.allclose(G, G.T)
+    assert np.linalg.eigvalsh(G).min() > -1e-8 * max(1.0, abs(G).max())
