@@ -1464,6 +1464,11 @@ def q_curate_full(spark, sf):
     bl = _fx(spark, sf, "domain_blocklist")
     out = (curate_corpus(pages, blocklist=bl, **_CURATE_FULL)
            .select("doc_id", "url", "lang").orderBy("doc_id"))
+    # materialize BEFORE releasing: unpersisting first would strip the
+    # jaccard_verify/LSH persists while the plan is still lazy, and the
+    # harness's later collect would re-evaluate the shingle chain per
+    # reference (the exact pathology those persists exist to prevent)
+    out = out.localCheckpoint()
     release_caches()
     return out
 
@@ -1486,7 +1491,8 @@ def q_curate_pack(spark, sf):
     curated = curate_corpus(pages, blocklist=bl, **_CURATE_FULL)
     out = (pack_manifest(curated, seq_len=64, n_shards=2)
            .orderBy("shard", "seq_id", "pos_in_seq"))
-    release_caches()
+    out = out.localCheckpoint()  # materialize before releasing (see
+    release_caches()             # q_curate_full)
     return out
 
 

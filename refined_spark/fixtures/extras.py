@@ -1402,8 +1402,14 @@ def gen_curation_pages(out_dir: str) -> None:
       keep-first then drops it from the later (url-order) page.
     - PASS-THROUGH lines ('' and '$$$ ###') never key.
     - SPAM HOST (spam.cur.org, 4 pages of low-alpha garbage) falls to
-      the host cut; its garbage lines normalize empty (pass-through),
-      so the line stages cannot save it.
+      the host cut. Note the interplay: the two garbage lines fold to
+      the shared digit keys '000'/'0000' (digits→0, symbols strip), so
+      at min_docs=3 the boilerplate cut removes them from all 4 pages
+      FIRST and the host cut judges the rewritten one-line pages —
+      whose only line is the pass-through '$$$ ###' (normalizes
+      empty, never keys, quality 0.0). The host-cut margin in the
+      gate (0.0 vs tau 0.5) is therefore the rewritten text's, not
+      the original garbage's.
     - HAPAX DOC (doc 900 on good host h0): letters-only words unique
       to it -> mean -logp far above every common-word doc -> LM cut.
     - NEAR-DUP MIRROR PAIRS surviving the line stages by design: the

@@ -368,13 +368,20 @@ def train_bpe_spark(docs: DataFrame, n_merges: int,
       provable no-op and is skipped. ``vocab_partitions`` sizes the
       loop frame — 1 for fixture/test vocabularies, O(cores) when the
       distinct-word table is genuinely large."""
+    wf = word_frequencies(docs, text_col)
     if driver_vocab_limit:
+        # materialize the vocab table ONCE before probing: the probe's
+        # limit() runs the full corpus aggregation anyway, and without
+        # the checkpoint the fallback path would re-run that corpus
+        # pass — the job's dominant cost in exactly the too-big-vocab
+        # regime — a second time. The checkpoint writes vocab-scale
+        # rows, trivial beside the pass it saves.
+        wf = wf.localCheckpoint()
         # Arrow transfer, not row collect: at the production vocabulary
         # shape (10^6-10^7 distinct words) toPandas moves the table 4x
         # faster than the py4j row path (measured: 1.6s vs 6.5s at 2M
         # rows), and the probe stays one job either way.
-        pdf = (word_frequencies(docs, text_col)
-               .limit(driver_vocab_limit + 1).toPandas())
+        pdf = wf.limit(driver_vocab_limit + 1).toPandas()
         if len(pdf) <= driver_vocab_limit:
             word_freq = {tuple(w): int(f)
                          for w, f in zip(pdf["word"], pdf["freq"])}
@@ -382,7 +389,7 @@ def train_bpe_spark(docs: DataFrame, n_merges: int,
         _LOG.warning(
             "train_bpe_spark: > %d distinct words — falling back to "
             "the distributed merge loop", driver_vocab_limit)
-    cur = (word_frequencies(docs, text_col)
+    cur = (wf
            .select(F.regexp_extract_all("word", F.lit("."), 0)
                    .alias("syms"), "freq")
            .coalesce(vocab_partitions)

@@ -207,13 +207,18 @@ _CC_SECOND_LEVEL: dict[str, tuple[str, ...]] = {
 
 # US locality scheme: every state/territory code is itself a suffix
 # (foo.ca.us registers at 3 labels) and carries the k12/cc/lib
-# third-level registries (myschool.k12.ca.us registers at 4).
+# third-level registries (myschool.k12.ca.us registers at 4). The
+# k12/cc/lib stamping is a slight OVER-approximation of the published
+# file (a few territories lack some of the three; those hosts resolve
+# one label deep rather than one short — the conservative direction
+# for blocklist matching); tools/gen_psl.py regenerates the exact set.
 _US_STATES: tuple[str, ...] = (
-    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
-    "gu", "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md",
-    "me", "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj",
-    "nm", "nv", "ny", "oh", "ok", "or", "pa", "pr", "ri", "sc", "sd",
-    "tn", "tx", "ut", "va", "vi", "vt", "wa", "wi", "wv", "wy")
+    "ak", "al", "ar", "as", "az", "ca", "co", "ct", "dc", "de", "fl",
+    "ga", "gu", "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma",
+    "md", "me", "mi", "mn", "mo", "mp", "ms", "mt", "nc", "nd", "ne",
+    "nh", "nj", "nm", "nv", "ny", "oh", "ok", "or", "pa", "pr", "ri",
+    "sc", "sd", "tn", "tx", "ut", "va", "vi", "vt", "wa", "wi", "wv",
+    "wy")
 _CC_SECOND_LEVEL["us"] = _US_STATES + ("dni", "fed", "isa", "kids",
                                        "nsn")
 
