@@ -145,10 +145,16 @@ class CheckpointRunner:
         # stage finish its manifest (the work is durable — resume keeps
         # it) and stops the run at the NEXT stage's entry check.
         out = self.spark.read.parquet(data_dir)
+        # lineage = the WRITTEN FILES (one per writer task — the stable
+        # writer-side layout), not spark_partition_id() of the read-back:
+        # the reader coalesces small files under maxPartitionBytes, so a
+        # read-split census varies with reader config and says nothing
+        # about which task produced what
         parts = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            out.groupBy(F.element_at(
+                F.split(F.input_file_name(), "/"), -1).alias("file"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .orderBy("partition_id")
+            .orderBy("file")
             .collect()
         )
         n_rows = sum(r["rows"] for r in parts)
@@ -161,8 +167,10 @@ class CheckpointRunner:
             output_fingerprint=out_fp,
             rows=n_rows,
             wall_sec=round(time.time() - t0, 3),
-            partitions=[dict(partition_id=r["partition_id"],
-                             rows=r["rows"]) for r in parts],
+            partitions=[dict(file=r["file"], rows=r["rows"],
+                             bytes=os.path.getsize(
+                                 os.path.join(data_dir, r["file"])))
+                        for r in parts],
             schema=out.schema.simpleString(),
         ))
         self._chain = out_fp
@@ -208,11 +216,19 @@ def run_pipeline_checkpointed(
     from .operators.extract import extracted_text_col, with_extracted_text
     from .operators.mentions import detect_mention_rows, mentions_from_spans
     from .operators.scoring import links_from_logits, with_candidate_logits
-    from .pipeline import load_tables, load_weights, write_match_dictionary
+    from .pipeline import (fixture_content_stamp, load_tables,
+                           load_weights, write_match_dictionary)
 
     t = load_tables(spark, fixture_dir)
+    # the fingerprint covers fixture CONTENT (generator stamps), not
+    # just the path: regenerating fixtures in place must dirty every
+    # stage, or a resume silently reuses parquet of deleted data — the
+    # same hazard class _default_dict_dir guards (round-2 advisor
+    # finding), now applied to the checkpoint chain itself
+    fx_stamp = fixture_content_stamp(fixture_dir)
     runner = CheckpointRunner(
         spark, run_dir, run_inputs=dict(fixture_dir=fixture_dir, mode=mode,
+                                        fixture_stamp=fx_stamp,
                                         backward_coref=backward_coref,
                                         typing_mode=typing_mode))
 
@@ -224,9 +240,14 @@ def run_pipeline_checkpointed(
         docs = t["documents"].withColumn(
             "text", extracted_text_col("html"))
         # dictionary artifact lives in the run_dir (shared storage on a
-        # cluster) and is loaded lazily by each worker — no driver collect
+        # cluster) and is loaded lazily by each worker — no driver
+        # collect. The dir is keyed by the fixture CONTENT stamp so a
+        # forced recompute against regenerated fixtures writes a fresh
+        # dictionary instead of reusing the stale _SUCCESS-guarded one
+        # (the stale-dict variant of the fingerprint hazard above).
         dict_path = write_match_dictionary(
-            t["pem"], t["entity"], os.path.join(run_dir, "match_dict"))
+            t["pem"], t["entity"],
+            os.path.join(run_dir, f"match_dict-{fx_stamp[:12]}"))
         return detect_mention_rows(spark, docs, dict_path=dict_path)
 
     mentions = runner.stage("mentions", build_mentions)

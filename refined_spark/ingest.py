@@ -117,16 +117,21 @@ class MultipartIngest:
         ``skipped=True``); a torn write from a crashed attempt is
         removed and redone."""
         stamp = self._stamp(job_id)
-        if self.is_finalized(job_id):
-            raise IngestError(
-                f"ingest job {job_id!r} is finalized; no further parts")
         name = _part_name(part_number)
         pd_ = self._parts_dir(job_id)
         manifest_path = os.path.join(pd_, name + ".json")
+        # idempotent-skip BEFORE the finalized check: the documented
+        # retry contract ("re-submitting a completed part is a no-op")
+        # must hold for an uploader whose commit response was lost and
+        # whose coordinator finalized in the meantime — only genuinely
+        # NEW parts are refused after finalize
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 m = json.load(f)
             return {**m, "skipped": True}
+        if self.is_finalized(job_id):
+            raise IngestError(
+                f"ingest job {job_id!r} is finalized; no further parts")
 
         # schema discipline: first committed part freezes the job schema
         schema_json = rows.schema.json()
@@ -179,11 +184,17 @@ class MultipartIngest:
         n_rows = sum(m["rows"] for m in parts.values())
         exp_p, exp_r = stamp.get("expected_parts"), stamp.get(
             "expected_rows")
-        if exp_p is not None and len(parts) != exp_p:
+        if exp_p is not None:
+            # validate the part-number SET, not just the count — the
+            # right number of wrong parts (a skipped number plus a
+            # stray extra) must not finalize
             missing = sorted(set(range(exp_p)) - set(parts))
-            raise IngestError(
-                f"finalize: {len(parts)}/{exp_p} parts received; "
-                f"missing part numbers {missing}")
+            extra = sorted(set(parts) - set(range(exp_p)))
+            if missing or extra:
+                raise IngestError(
+                    f"finalize: {len(parts)}/{exp_p} parts received; "
+                    f"missing part numbers {missing}; unexpected part "
+                    f"numbers {extra}")
         if exp_r is not None and n_rows != exp_r:
             raise IngestError(
                 f"finalize: {n_rows} rows received, expected {exp_r}")

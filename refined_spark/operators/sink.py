@@ -65,11 +65,13 @@ def read_results_page(spark: SparkSession, path: str, page: int,
     in-memory list (refined_api.py:249-256); at engine scale the same
     contract is an order-key range read."""
     df = spark.read.parquet(path)
-    w = Window.orderBy("table_id", "row")
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") > page * page_size)
-                   & (F.col("_rn") <= (page + 1) * page_size))
-            .drop("_rn"))
+    # offset+limit, not an unpartitioned row_number window: the window
+    # funneled the WHOLE results table through one task per page
+    # request; offset/limit plans as a global-sort + take (Spark pushes
+    # the combined bound down), which is the order-key range read the
+    # contract describes
+    return (df.orderBy("table_id", "row")
+            .offset(page * page_size).limit(page_size))
 
 
 def stage_metrics(spark: SparkSession, run_dir: str) -> DataFrame:
@@ -82,7 +84,11 @@ def stage_metrics(spark: SparkSession, run_dir: str) -> DataFrame:
             continue
         with open(mpath) as f:
             m = json.load(f)
-        rows.append((m["stage"], int(m["rows"]), float(m["wall_sec"]),
+        # a cancelled-stage manifest (checkpoint.py cancel path) has no
+        # 'rows' — surface it with rows=-1 rather than crashing the
+        # metrics view, which exists precisely to show such stages
+        n_rows = int(m["rows"]) if "rows" in m else -1
+        rows.append((m["stage"], n_rows, float(m["wall_sec"]),
                      len(m.get("partitions", [])), m["status"]))
     return spark.createDataFrame(
         rows, "stage string, rows long, wall_sec double, "

@@ -109,15 +109,15 @@ def match_dictionary(pem: DataFrame, entity: DataFrame) -> list[str]:
     return [r["key"] for r in match_dictionary_df(pem, entity).collect()]
 
 
-def _default_dict_dir(fixture_dir: str) -> str:
-    """Artifact dir keyed on fixture PATH + CONTENT stamp: regenerating
-    fixtures in place (a _VERSION/_EXTRAS bump rebuilds the same
-    directory) must not silently reuse a dictionary whose keys no longer
-    match the new pem/entity tables (round-2 advisor finding). The stamp
-    files are bytes-tiny; missing stamps hash as empty (caller-supplied
-    resource dirs outside the fixture generator)."""
+def fixture_content_stamp(fixture_dir: str) -> str:
+    """Hash of the fixture dir's PATH + generator CONTENT stamps
+    (_VERSION.json/_EXTRAS.json): the key under which anything derived
+    from the fixtures (match dictionary, checkpoint fingerprints) may
+    be reused — regenerating fixtures in place changes the stamps and
+    so invalidates every derivation (round-2 advisor finding class).
+    Missing stamps hash as empty (caller-supplied resource dirs outside
+    the fixture generator)."""
     import hashlib
-    import tempfile
 
     h = hashlib.sha256(os.path.abspath(fixture_dir).encode())
     for stamp in ("_VERSION.json", "_EXTRAS.json"):
@@ -125,8 +125,16 @@ def _default_dict_dir(fixture_dir: str) -> str:
         if os.path.exists(p):
             with open(p, "rb") as f:
                 h.update(f.read())
+    return h.hexdigest()
+
+
+def _default_dict_dir(fixture_dir: str) -> str:
+    """Artifact dir keyed on :func:`fixture_content_stamp` — see there
+    for why path alone is not enough."""
+    import tempfile
+
     return os.path.join(tempfile.gettempdir(), "refined_spark_dicts",
-                        h.hexdigest()[:16])
+                        fixture_content_stamp(fixture_dir)[:16])
 
 
 def run_pipeline(

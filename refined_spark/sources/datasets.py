@@ -90,9 +90,14 @@ def map_titles_to_qcodes(spans: DataFrame, redirects: DataFrame,
     # anchor ETL tolerates one; this mapper must not) would silently
     # fan spans out through the joins, so both lookups are made
     # functional with a deterministic min() winner per key.
-    red = F.broadcast(redirects.groupBy(
+    red = redirects.groupBy(
         F.col("src_title").alias(title_col)).agg(
-        F.min("dst_title").alias("_redir")))
+        F.min("dst_title").alias("_redir"))
+    if broadcast_titles:
+        # the escape hatch gates BOTH dimensions: at full-KB scale the
+        # redirects table (~10M rows) is the same class of
+        # too-big-to-broadcast as the 33M-title map
+        red = F.broadcast(red)
     followed = (normed.join(red, title_col, "left")
                 .withColumn(title_col,
                             F.coalesce("_redir", title_col))

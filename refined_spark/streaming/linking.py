@@ -41,6 +41,7 @@ Scale notes (1000-executor / 100 TB framing):
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import tempfile
@@ -182,15 +183,36 @@ def streaming_links(spark: SparkSession, fixture_dir: str,
     (production) or unique (forcing a from-scratch replay).
     """
     schema = spark.read.parquet(documents_dir).schema
-    linker = StreamingLinker(spark, fixture_dir, mode=mode,
-                             backward_coref=backward_coref,
-                             typing_mode=typing_mode)
-    out = out_dir or tempfile.mkdtemp(prefix="rs_stream_links_")
+    # default sink is STABLE (derived from documents_dir), matching the
+    # stable default checkpoint below — a random mkdtemp here made the
+    # docstring's default-call resume promise silently false (fresh
+    # sink + fresh checkpoint on every invocation)
+    out = out_dir or os.path.join(
+        tempfile.gettempdir(),
+        "rs_stream_links_sink_" + hashlib.sha256(
+            os.path.abspath(documents_dir).encode()).hexdigest()[:16])
+    os.makedirs(out, exist_ok=True)
     ckpt = checkpoint_dir or os.path.join(
         tempfile.gettempdir(),
         "rs_stream_links_ckpt_" + hashlib.sha256(
             f"{os.path.abspath(documents_dir)}|{os.path.abspath(out)}"
             .encode()).hexdigest()[:16])
+    # a FRESH checkpoint must not adopt someone else's sink: batch ids
+    # restart at 0, overwriting low batches but leaving any higher
+    # stale batch-* dirs to be silently merged by read_link_sink.
+    # Resuming (offsets present) keeps its own batches, by design.
+    if not os.path.isdir(os.path.join(ckpt, "offsets")):
+        stale = sorted(glob.glob(os.path.join(out, "batch-*")))
+        if stale:
+            raise ValueError(
+                f"streaming_links: out_dir {out!r} already holds "
+                f"{len(stale)} batch dir(s) but checkpoint {ckpt!r} is "
+                "fresh — their batch ids would collide with the new "
+                "stream's. Pass a clean out_dir, or the original "
+                "checkpoint_dir to resume this sink.")
+    linker = StreamingLinker(spark, fixture_dir, mode=mode,
+                             backward_coref=backward_coref,
+                             typing_mode=typing_mode)
     stream = (spark.readStream.schema(schema).format("parquet")
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .load(documents_dir))

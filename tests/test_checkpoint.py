@@ -136,3 +136,56 @@ def test_cancel_interrupts_running_stage(spark, tmp_path_factory):
     assert _time.time() - t0 < 25, "cancel did not interrupt the stage"
     with open(os.path.join(run_dir, "slow", "manifest.json")) as f:
         assert json.load(f)["status"] == "cancelled"
+
+
+def test_stage_metrics_tolerates_cancelled_manifest(spark,
+                                                    tmp_path_factory):
+    """A cancelled-stage manifest has no 'rows' key; the metrics view
+    exists to SHOW such stages, so it must surface them (rows=-1), not
+    crash."""
+    from refined_spark.operators.sink import stage_metrics
+
+    run_dir = str(tmp_path_factory.mktemp("metrics_cancel"))
+    os.makedirs(os.path.join(run_dir, "stg"))
+    with open(os.path.join(run_dir, "stg", "manifest.json"), "w") as f:
+        json.dump(dict(stage="stg", status="cancelled",
+                       input_fingerprint="x", wall_sec=0.5), f)
+    got = stage_metrics(spark, run_dir).collect()
+    assert len(got) == 1
+    assert got[0].status == "cancelled" and got[0].rows == -1
+
+
+def test_fixture_content_stamp_tracks_regeneration(tmp_path):
+    """The checkpoint fingerprint's fixture stamp must change when the
+    generator stamps change IN PLACE (same path) — the silent-resume-
+    from-deleted-data hazard."""
+    from refined_spark.pipeline import fixture_content_stamp
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "_VERSION.json").write_text('{"version": "v5"}')
+    a = fixture_content_stamp(str(fx))
+    assert a == fixture_content_stamp(str(fx))  # deterministic
+    (fx / "_VERSION.json").write_text('{"version": "v6"}')
+    assert fixture_content_stamp(str(fx)) != a
+
+
+def test_stage_lineage_is_writer_file_level(spark, tmp_path_factory):
+    """The manifest's lineage records the WRITTEN files (writer-task
+    layout) with per-file rows+bytes — not reader split ids, which vary
+    with reader config."""
+    from refined_spark.checkpoint import CheckpointRunner
+
+    run_dir = str(tmp_path_factory.mktemp("lineage"))
+    runner = CheckpointRunner(spark, run_dir, run_inputs=dict(k="v"))
+    runner.stage("s", lambda: spark.range(100).repartition(3).toDF("n"))
+    with open(os.path.join(run_dir, "s", "manifest.json")) as f:
+        man = json.load(f)
+    parts = man["partitions"]
+    assert len(parts) == 3  # one entry per written part file
+    assert sum(p["rows"] for p in parts) == man["rows"] == 100
+    data_dir = os.path.join(run_dir, "s", "data")
+    for p in parts:
+        assert p["file"].endswith(".parquet")
+        assert os.path.getsize(
+            os.path.join(data_dir, p["file"])) == p["bytes"] > 0

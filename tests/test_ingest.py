@@ -87,6 +87,24 @@ def test_finalized_job_refuses_late_parts_and_schema_drift(
     ing.finalize(job)
     with pytest.raises(IngestError, match="finalized"):
         ing.add_part(job, 2, parts[2])
+    # the retry contract SURVIVES finalize: re-submitting an
+    # already-committed part (lost-response retry after a coordinator
+    # finalized) is still a no-op, never an error
+    again = ing.add_part(job, 1, parts[1])
+    assert again["skipped"] is True
+
+
+def test_finalize_validates_part_number_set(spark, fx_t1, ing):
+    """The right NUMBER of wrong parts must not finalize: expected
+    parts {0,1,2} with {0,1,3} received names both the missing and the
+    unexpected numbers."""
+    parts = _parts(spark, fx_t1)
+    job = ing.begin(expected_parts=3)
+    ing.add_part(job, 0, parts[0])
+    ing.add_part(job, 1, parts[1])
+    ing.add_part(job, 3, parts[2])
+    with pytest.raises(IngestError, match=r"missing.*\[2\].*\[3\]"):
+        ing.finalize(job)
 
 
 def test_finalized_corpus_feeds_pipeline_unchanged(spark, fx_t1, ing):

@@ -241,3 +241,25 @@ def test_streaming_links_et_mode_equals_batch_et(spark, fx_t1,
             (r["pred_qcode"] if pd.notna(r["pred_qcode"]) else None)
             for _, r in exp.iterrows()}
     assert got == want and got
+
+
+def test_streaming_links_refuses_foreign_sink(spark, fx_t1,
+                                              tmp_path_factory):
+    """A FRESH checkpoint must not adopt a sink holding another run's
+    batch dirs: new batch ids restart at 0 and any higher stale batch
+    would silently merge into read_link_sink's result. The guard fires
+    before any resource build."""
+    import pytest
+
+    from refined_spark.streaming.linking import (split_documents,
+                                                 streaming_links)
+
+    split = split_documents(
+        spark, os.path.join(fx_t1, "documents.parquet"), 2,
+        dest=str(tmp_path_factory.mktemp("guard_docs")))
+    out = str(tmp_path_factory.mktemp("guard_out"))
+    os.makedirs(os.path.join(out, "batch-00000007"))
+    with pytest.raises(ValueError, match="batch dir"):
+        streaming_links(spark, fx_t1, split, mode="spans", out_dir=out,
+                        checkpoint_dir=str(
+                            tmp_path_factory.mktemp("guard_ckpt")))
