@@ -70,12 +70,13 @@ def _fxp(name: str) -> str:
 # signal (textstats per-doc, host_quality per-host mean), so the replay
 # cannot drift between them.
 _QUALITY_SQL = """
-                     0.4 * least((case when length(text) > 0 then
+                     0.4 * least((case when length(trim(text)) > 0 then
                        cast(length(regexp_replace(text, '[^A-Za-z]', '',
-                            'g')) as double) / length(text) else 0.0 end)
+                            'g')) as double) / length(trim(text))
+                       else 0.0 end)
                        * 1.25, 1.0)
-                     + 0.3 * least((case when len(regexp_split_to_array(
-                         text, '\\s+')) > 0 then
+                     + 0.3 * least((case when text is not null
+                         and trim(text) <> '' then
                          cast(len(regexp_extract_all(lower(text),
                               '\\bthe\\b')) + len(regexp_extract_all(
                               lower(text), '\\band\\b'))
@@ -84,12 +85,15 @@ _QUALITY_SQL = """
                               lower(text), '\\bto\\b'))
                               + len(regexp_extract_all(lower(text),
                               '\\bin\\b')) as double)
-                           / len(regexp_split_to_array(text, '\\s+'))
+                           / len(regexp_split_to_array(trim(text),
+                                                       '\\s+'))
                          else 0.0 end) * 5.0, 1.0)
-                     + 0.3 * (1.0 - least((case when length(text) > 0 then
+                     + 0.3 * (1.0 - least((case when
+                         length(trim(text)) > 0 then
                          cast(length(regexp_replace(text,
                               '[A-Za-z0-9\\s]', '', 'g')) as double)
-                           / length(text) else 0.0 end) * 4.0, 1.0))"""
+                           / length(trim(text)) else 0.0 end)
+                         * 4.0, 1.0))"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2705,7 +2709,13 @@ def _curate_corpus_oracle_sql() -> str:
              and count(*) >= {cfg["host_min_docs"]}
         ), hostkept as (
           select url, text, lang from scored
-          where host not in (select host from bad)
+          -- null-safe anti-join shape, matching Spark's eqNullSafe
+          -- left_anti: a condemned NULL-host group drops its rows in
+          -- BOTH engines, and a NULL host in bad cannot three-valued-
+          -- logic every row away like NOT IN would
+          where not exists (select 1 from bad b
+                            where b.host is not distinct from
+                                  scored.host)
         ), toks as (
           select url, unnest(regexp_extract_all(lower(text),
                  '[a-z0-9]+')) as token
@@ -2811,7 +2821,10 @@ def _curate_full_chain_cte() -> str:
              and count(*) >= {cfg["host_min_docs"]}
         ), hostkept as materialized (
           select doc_id, url, text, lang from scored
-          where host not in (select host from badh)
+          -- null-safe anti-join shape (see the curate_corpus replay)
+          where not exists (select 1 from badh b
+                            where b.host is not distinct from
+                                  scored.host)
         ), toks as materialized (
           select doc_id, unnest(regexp_extract_all(lower(text),
                  '[a-z0-9]+')) as token
@@ -3670,15 +3683,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textstats": f"""
             select doc_id,
-                   cast(length(text) as int) as n_chars,
-                   case when length(text) > 0 then
+                   cast(length(trim(text)) as int) as n_chars,
+                   case when length(trim(text)) > 0 then
                      cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          as double) / length(text) else 0.0 end
+                          as double) / length(trim(text))
+                     else 0.0 end
                      as alpha_ratio,
-                   case when length(text) > 0 then
+                   case when length(trim(text)) > 0 then
                      cast(length(regexp_replace(text,
                           '[A-Za-z0-9\\s]', '', 'g')) as double)
-                       / length(text) else 0.0 end as punct_ratio,
+                       / length(trim(text)) else 0.0 end as punct_ratio,
                    round({_QUALITY_SQL}, 6) as quality_score,
                    cast(len(regexp_extract_all(text,
                         '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) as int)
@@ -3926,12 +3940,19 @@ def oracle_sql() -> dict[str, str]:
               from documents
             ), lm as (
               select token, count(*) as cnt from toks group by token
-            ), tot as (select cast(sum(cnt) as double) as t from lm)
-            select doc_id, count(*) as n_tokens,
-                   round(-sum(ln(cast(l.cnt as double) / tot.t))
-                         / count(*), 6) as lm_score
-            from toks join lm l using (token), tot
-            group by doc_id
+            ), tot as (select cast(sum(cnt) as double) as t from lm),
+            agg as (
+              select doc_id, count(*) as n_tokens,
+                     round(-sum(ln(cast(l.cnt as double) / tot.t))
+                           / count(*), 6) as lm_score
+              from toks join lm l using (token), tot
+              group by doc_id
+            )
+            -- token-free docs appear as (id, 0, NULL) in both engines
+            select d.doc_id, coalesce(a.n_tokens, 0) as n_tokens,
+                   a.lm_score
+            from (select distinct doc_id from documents) d
+            left join agg a using (doc_id)
             order by doc_id
         """,
         "pii_redact": f"""

@@ -359,7 +359,11 @@ def gen_crawl_snapshots(out_dir: str, n_sites: int) -> None:
                 u_host = host + (":443" if scheme == "https" else ":80")
             u_rest = path + query
             if deco == 3:
-                u_rest = u_rest + "/"
+                # the trailing-slash ALIAS decorates the PATH — a '/'
+                # appended after a query string is a different URL
+                # (rule 5 preserves the query byte-for-byte; the r5
+                # review fixed the rule and this decoration with it)
+                u_rest = path + "/" + query
             elif deco == 4:
                 u_rest = u_rest + "#section-2"
             url = f"{u_scheme}://{u_host}{u_rest}"

@@ -20,16 +20,21 @@ them verbatim — :func:`canonical_url_sql` emits the identical SQL):
 3. an explicit default port is dropped (``:80`` for http, ``:443`` for
    https);
 4. the fragment is dropped (never sent to the origin);
-5. one trailing ``/`` is dropped (so ``https://h/`` and ``https://h``
-   collapse; the query string is PRESERVED — it addresses content).
+5. one trailing ``/`` is dropped from the PATH (so ``https://h/`` and
+   ``https://h`` collapse; the query string is PRESERVED byte-for-byte
+   — it addresses content, including any ``/`` characters inside it).
 
 Scale shape: :func:`latest_snapshot` is ONE map-side-combining
 aggregation on the canonical key — ``max_by(payload, (warc_ts, url))``
 partial-aggregates to one row per key per partition before the
 exchange, so a hot site with millions of snapshots still ships one row
 per map task (no window sort over the corpus, the shape entity_index
-was rebuilt to avoid). The (warc_ts, url) order key makes the pick
-total: ties on warc_ts fall to the lexicographically larger raw url.
+was rebuilt to avoid). The (warc_ts, url) order key totalizes the pick
+across DISTINCT captures (ties on warc_ts fall to the lexicographically
+larger raw url); two rows identical in (warc_ts, url) but differing in
+payload — a malformed upstream capture — are outside that order, so
+callers needing byte-determinism under task retries there pass
+``content_tiebreak_col`` to extend the key with a payload hash.
 """
 
 from __future__ import annotations
@@ -47,6 +52,27 @@ RE_WWW = "^www\\."
 RE_P80 = ":80$"
 RE_P443 = ":443$"
 RE_SLASH = "/$"
+RE_PATH = "^([^?]*)"          # rest up to (excl.) the query string
+RE_QUERY = "(\\?.*)$"          # the query string incl. '?', or empty
+
+
+def url_scheme(col: F.Column) -> F.Column:
+    return F.lower(F.regexp_extract(col, RE_SCHEME, 1))
+
+
+def canonical_authority(col: F.Column) -> F.Column:
+    """Rules 1-3 on the authority: lowercase, leading ``www.`` dropped,
+    scheme-default port dropped. THE single definition of host identity
+    — hosts.host_of and (through it) urlfilter's registered domains
+    delegate here, so URL dedup and host condemnation can never drift
+    onto different host identities."""
+    scheme = url_scheme(col)
+    auth = F.regexp_replace(
+        F.lower(F.regexp_extract(col, RE_AUTH, 1)), RE_WWW, "")
+    return (F.when(scheme == "http", F.regexp_replace(auth, RE_P80, ""))
+            .when(scheme == "https",
+                  F.regexp_replace(auth, RE_P443, ""))
+            .otherwise(auth))
 
 
 def canonical_url(col: F.Column) -> F.Column:
@@ -54,15 +80,15 @@ def canonical_url(col: F.Column) -> F.Column:
     Non-URL strings (no ``scheme://``) canonicalize to the empty
     authority form ``'://'`` + nothing — callers feeding arbitrary
     strings should pre-filter; the corpus contract guarantees URLs."""
-    scheme = F.lower(F.regexp_extract(col, RE_SCHEME, 1))
-    auth = F.regexp_replace(
-        F.lower(F.regexp_extract(col, RE_AUTH, 1)), RE_WWW, "")
-    auth = (F.when(scheme == "http", F.regexp_replace(auth, RE_P80, ""))
-            .when(scheme == "https", F.regexp_replace(auth, RE_P443, ""))
-            .otherwise(auth))
-    rest = F.regexp_replace(
-        F.regexp_extract(col, RE_REST, 1), RE_SLASH, "")
-    return F.concat(scheme, F.lit("://"), auth, rest)
+    scheme = url_scheme(col)
+    auth = canonical_authority(col)
+    rest = F.regexp_extract(col, RE_REST, 1)
+    # rule 5 applies to the PATH only: a trailing '/' INSIDE the query
+    # string addresses different content and must survive
+    path = F.regexp_replace(
+        F.regexp_extract(rest, RE_PATH, 1), RE_SLASH, "")
+    query = F.regexp_extract(rest, RE_QUERY, 1)
+    return F.concat(scheme, F.lit("://"), auth, path, query)
 
 
 def canonical_url_sql(col: str = "url") -> str:
@@ -71,16 +97,25 @@ def canonical_url_sql(col: str = "url") -> str:
     every replacement is anchored to one occurrence so first-match
     replace semantics agree with Spark's replace-all)."""
     scheme = f"lower(regexp_extract({col}, '{RE_SCHEME}', 1))"
+    auth = canonical_authority_sql(col)
+    rest = f"regexp_extract({col}, '{RE_REST}', 1)"
+    path = (f"regexp_replace(regexp_extract({rest}, '{RE_PATH}', 1), "
+            f"'{RE_SLASH}', '')")
+    query = f"regexp_extract({rest}, '{RE_QUERY}', 1)"
+    return f"({scheme} || '://' || {auth} || {path} || {query})"
+
+
+def canonical_authority_sql(col: str = "url") -> str:
+    """The IDENTICAL authority rules as SQL (the emitter twin of
+    :func:`canonical_authority`; hosts.host_sql delegates here)."""
+    scheme = f"lower(regexp_extract({col}, '{RE_SCHEME}', 1))"
     auth0 = (f"regexp_replace(lower(regexp_extract({col}, '{RE_AUTH}', 1)),"
              f" '{RE_WWW}', '')")
-    auth = (f"case when {scheme} = 'http' then "
+    return (f"(case when {scheme} = 'http' then "
             f"regexp_replace({auth0}, '{RE_P80}', '') "
             f"when {scheme} = 'https' then "
             f"regexp_replace({auth0}, '{RE_P443}', '') "
-            f"else {auth0} end")
-    rest = (f"regexp_replace(regexp_extract({col}, '{RE_REST}', 1), "
-            f"'{RE_SLASH}', '')")
-    return f"({scheme} || '://' || {auth} || {rest})"
+            f"else {auth0} end)")
 
 
 def with_canonical_url(docs: DataFrame, url_col: str = "url",
@@ -89,15 +124,27 @@ def with_canonical_url(docs: DataFrame, url_col: str = "url",
 
 
 def latest_snapshot(docs: DataFrame, url_col: str = "url",
-                    ts_col: str = "warc_ts") -> DataFrame:
+                    ts_col: str = "warc_ts",
+                    content_tiebreak_col: str | None = None) -> DataFrame:
     """One row per canonical URL: the newest snapshot's full row (ties
-    on ``ts_col`` broken by max raw url — a total order), plus
-    ``n_snapshots``, the collapsed multiplicity. Output columns:
-    (canonical_url, <all input columns>, n_snapshots)."""
-    cols = list(docs.columns)
+    on ``ts_col`` broken by max raw url), plus ``n_snapshots``, the
+    collapsed multiplicity. Output columns:
+    (canonical_url, <all input columns>, n_snapshots). An input that
+    already carries canonical_url/n_snapshots columns has them
+    recomputed at the top level (never duplicated — re-collapsing a
+    collapsed frame composes). ``content_tiebreak_col`` extends the
+    order key with a payload hash for corpora that can hold two rows
+    identical in (ts, url) but differing in payload (see module
+    docstring)."""
+    cols = [c for c in docs.columns
+            if c not in ("canonical_url", "n_snapshots")]
+    ord_fields = [F.col(ts_col), F.col(url_col)]
+    if content_tiebreak_col is not None:
+        ord_fields.append(
+            F.xxhash64(F.col(content_tiebreak_col).cast("binary")))
     d = docs.select(canonical_url(F.col(url_col)).alias("canonical_url"),
                     F.struct(*cols).alias("_row"),
-                    F.struct(F.col(ts_col), F.col(url_col)).alias("_ord"))
+                    F.struct(*ord_fields).alias("_ord"))
     picked = d.groupBy("canonical_url").agg(
         F.max_by("_row", "_ord").alias("_row"),
         F.count(F.lit(1)).alias("n_snapshots"))

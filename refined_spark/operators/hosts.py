@@ -36,32 +36,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .crawl import RE_AUTH, RE_P443, RE_P80, RE_SCHEME, RE_WWW
+from .crawl import canonical_authority, canonical_authority_sql
 from .textstats import with_quality
 
 
 def host_of(col: F.Column) -> F.Column:
     """Canonical host of a URL column: lowercase authority, ``www.``
-    and scheme-default port stripped (crawl.py rules 1-3)."""
-    scheme = F.lower(F.regexp_extract(col, RE_SCHEME, 1))
-    auth = F.regexp_replace(
-        F.lower(F.regexp_extract(col, RE_AUTH, 1)), RE_WWW, "")
-    return (F.when(scheme == "http", F.regexp_replace(auth, RE_P80, ""))
-            .when(scheme == "https", F.regexp_replace(auth, RE_P443, ""))
-            .otherwise(auth))
+    and scheme-default port stripped — DELEGATES to crawl.py's
+    canonical_authority (the single definition of host identity; the
+    r5 review found this block maintained verbatim in two modules,
+    where one edited rule would silently split URL dedup and host
+    condemnation onto different identities)."""
+    return canonical_authority(col)
 
 
 def host_sql(col: str = "url") -> str:
-    """The IDENTICAL host rule as DuckDB SQL (single-quoted regex
-    literals, same shared atoms)."""
-    scheme = f"lower(regexp_extract({col}, '{RE_SCHEME}', 1))"
-    auth0 = (f"regexp_replace(lower(regexp_extract({col}, '{RE_AUTH}', 1)),"
-             f" '{RE_WWW}', '')")
-    return (f"(case when {scheme} = 'http' then "
-            f"regexp_replace({auth0}, '{RE_P80}', '') "
-            f"when {scheme} = 'https' then "
-            f"regexp_replace({auth0}, '{RE_P443}', '') "
-            f"else {auth0} end)")
+    """The IDENTICAL host rule as DuckDB SQL (delegates to the
+    crawl.py emitter twin)."""
+    return canonical_authority_sql(col)
 
 
 def host_stats(docs: DataFrame, url_col: str = "url",
@@ -107,5 +99,12 @@ def drop_low_quality_hosts(docs: DataFrame, tau: float,
     while helper in docs.columns:
         helper += "_"
     probe = docs.withColumn(helper, host_of(F.col(url_col)))
-    kept = probe.join(bad, probe[helper] == bad["host"], "left_anti")
+    # NULL-SAFE equality: a NULL-url group aggregates to a NULL host
+    # row which low_quality_hosts can condemn, but plain equality never
+    # matches NULL — the condemnation would be reported yet silently
+    # unenforced. (Scheme-less urls all pool into host '' — one
+    # pseudo-host judged together; the corpus contract guarantees real
+    # URLs, this is the degradation mode.)
+    kept = probe.join(bad, probe[helper].eqNullSafe(bad["host"]),
+                      "left_anti")
     return kept.drop(helper)

@@ -128,6 +128,11 @@ def _reassemble(docs: DataFrame, kept: DataFrame, id_col: str,
     ``element_at`` (linear in kept lines). Docs with NO surviving
     lines are dropped when ``drop_empty`` (a fully-duplicate page IS a
     duplicate), else kept with empty text."""
+    # chaining the two line stages is the documented curation order:
+    # a prior stage's audit columns are REPLACED (dropped here, re-
+    # attached below), never duplicated — duplicate names break any
+    # downstream write ('Found duplicate column(s)')
+    docs = docs.drop("n_lines_kept", "n_lines_dropped")
     kept_arr = (kept.groupBy(id_col)
                 .agg(F.sort_array(F.collect_list("pos")).alias("_kept")))
     joined = docs.join(kept_arr, id_col, "left")

@@ -75,9 +75,15 @@ def with_lm_score(docs: DataFrame, lm: DataFrame,
     scored = scored.crossJoin(F.broadcast(tot)).select(
         id_col,
         F.coalesce("logp", F.log(F.lit(1.0) / F.col("_t"))).alias("lp"))
-    return (scored.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 (-F.sum("lp") / F.count(F.lit(1))).alias("lm_score")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                (-F.sum("lp") / F.count(F.lit(1))).alias("lm_score")))
+    # token-free docs vanish at the explode; join them back so the
+    # documented per-document shape holds: (id, 0, NULL). A caller can
+    # then audit or keep them under a different policy than
+    # drop_high_perplexity (which drops NULL scores with the tail).
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))
 
 
 def drop_high_perplexity(docs: DataFrame, lm: DataFrame, tau: float,

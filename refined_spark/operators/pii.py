@@ -63,8 +63,13 @@ def with_pii(docs: DataFrame, text_col: str = "text",
     out = docs
     counts = []
     for name, pat, token in PATTERNS:
+        # NULL text must yield count 0, not NULL: the docstring promises
+        # int counts and a bool has_pii, and a NULL has_pii row vanishes
+        # from BOTH branches of any has_pii predicate (a scrub audit
+        # would lose extraction-failed rows entirely)
         out = out.withColumn(f"n_{name}",
-                             F.regexp_count(cur, F.lit(pat)))
+                             F.coalesce(F.regexp_count(cur, F.lit(pat)),
+                                        F.lit(0)))
         out = out.withColumn(f"_pii_{name}",
                              F.regexp_replace(cur, pat, token))
         cur = F.col(f"_pii_{name}")

@@ -63,10 +63,13 @@ def feature_columns(text_col: str = "text") -> dict[str, Column]:
     (n_chars in thousands) so the normal-equation matrix stays
     well-conditioned without per-feature standardization."""
     t = F.col(text_col)
-    n_chars = F.length(t)
+    trimmed = F.trim(t)
+    n_chars = F.length(trimmed)  # textstats trim rule (padding-blind)
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
-    n_words = F.size(F.split(t, r"\s+"))
+    n_words = F.when(trimmed.isNull() | (trimmed == ""),
+                     F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))  # textstats trim rule
     return {
         "n_kchars": (n_chars / F.lit(1000.0)),
         "alpha_ratio": F.when(n_chars > 0,
@@ -82,10 +85,12 @@ def feature_sql(text_col: str = "text") -> dict[str, str]:
     """The DuckDB replay of :func:`feature_columns`, same names, same
     order, same arithmetic."""
     t = text_col
-    n_chars = f"length({t})"
+    n_chars = f"length(trim({t}))"
     n_alpha = f"length(regexp_replace({t}, '[^A-Za-z]', '', 'g'))"
     n_punct = f"length(regexp_replace({t}, '[A-Za-z0-9\\s]', '', 'g'))"
-    n_words = f"len(regexp_split_to_array({t}, '\\s+'))"
+    n_words = (f"(case when {t} is null or trim({t}) = '' then 0 "
+               f"else len(regexp_split_to_array(trim({t}), '\\s+')) "
+               f"end)")
     return {
         "n_kchars": f"({n_chars} / 1000.0)",
         "alpha_ratio": (f"(case when {n_chars} > 0 then "

@@ -47,11 +47,20 @@ def rate_to_hex_threshold(rate: float) -> str:
     return format(scaled, "032x")
 
 
+_NULL_KEY = "\x00<null>"  # cannot collide with a real cast-to-string key
+
+
 def sample_hash(key_col: F.Column, salt: str) -> F.Column:
     """The sampling hash — md5 of salt||key, lowercase hex. Changing
     ``salt`` draws an independent sample; reusing it across tables
-    yields consistent (joinable) subsets."""
-    return F.md5(F.concat(F.lit(salt), key_col.cast("string")))
+    yields consistent (joinable) subsets. NULL keys hash a reserved
+    sentinel: concat would otherwise yield NULL, the threshold
+    comparison would three-value to NULL, and every NULL-key row would
+    silently vanish from every sample — rate 1.0 would not be the
+    identity, and 'consistent across tables' would fail on any
+    nullable join key (r5 review, live-confirmed)."""
+    key = F.coalesce(key_col.cast("string"), F.lit(_NULL_KEY))
+    return F.md5(F.concat(F.lit(salt), key))
 
 
 def deterministic_sample(df: DataFrame, rate: float, key_col: str,
@@ -91,5 +100,6 @@ def sample_sql(key_col: str, rate: float, salt: str = "s0") -> str:
         raise ValueError(
             "sample_sql: salt must be quote-free (the SQL replay "
             f"interpolates it as a literal): {salt!r}")
-    return (f"md5('{salt}' || cast({key_col} as varchar)) "
+    return (f"md5('{salt}' || coalesce(cast({key_col} as varchar), "
+            f"chr(0) || '<null>')) "
             f"< '{rate_to_hex_threshold(rate)}'")

@@ -54,8 +54,13 @@ def test_rules_that_must_not_fire(spark):
         # root slash == bare host
         "https://h.org/": "https://h.org",
         "https://h.org": "https://h.org",
-        # trailing slash strips once, before-query slash kept
-        "https://h.org/a/?q=1/": "https://h.org/a/?q=1",
+        # PATH trailing slash strips; the query string — including any
+        # '/' inside or at its end — is preserved byte-for-byte (rule
+        # 5: the query addresses content; r5 review fixed the rule,
+        # which previously stripped the QUERY's trailing slash and
+        # kept the path's — backwards from the documented contract)
+        "https://h.org/a/?q=1/": "https://h.org/a?q=1/",
+        "https://h.org/a?next=/x/": "https://h.org/a?next=/x/",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
@@ -135,3 +140,40 @@ def test_fixture_is_nonvacuous(spark, fx_t1):
     assert any("#" in u for u in urls)
     assert any(u.rstrip().endswith("/") for u in urls)
     assert any(u[:5].isupper() for u in urls)  # scheme-case decoration
+
+
+def test_collapse_composes_on_decorated_input(spark):
+    """latest_snapshot over a frame that ALREADY carries canonical_url
+    (its own with_canonical_url output) must not produce duplicate
+    columns — the r5 review's composition crash."""
+    from refined_spark.operators.crawl import (drop_stale_snapshots,
+                                               with_canonical_url)
+
+    docs = spark.createDataFrame(
+        [("https://h.org/a", "2025-01-01 00:00:00", "t1"),
+         ("https://www.h.org/a", "2025-01-02 00:00:00", "t2")],
+        "url string, ts string, text string").withColumn(
+        "warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+    decorated = with_canonical_url(docs)
+    out = drop_stale_snapshots(decorated)
+    assert out.columns == decorated.columns
+    assert out.count() == 1 and out.collect()[0].text == "t2"
+
+
+def test_content_tiebreak_makes_degenerate_ties_total(spark):
+    """Two rows identical in (warc_ts, url) with different payloads:
+    with content_tiebreak_col the pick is deterministic (max payload
+    hash), independent of input order."""
+    from refined_spark.operators.crawl import latest_snapshot
+
+    rows = [("https://h.org/a", "2025-01-01 00:00:00", t)
+            for t in ("payload_one", "payload_two")]
+    want = None
+    for perm in (rows, rows[::-1]):
+        docs = spark.createDataFrame(
+            perm, "url string, ts string, text string").withColumn(
+            "warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+        got = latest_snapshot(docs, content_tiebreak_col="text")
+        picked = got.collect()[0].text
+        want = want or picked
+        assert picked == want

@@ -82,3 +82,61 @@ def test_split_sentences_offsets_consume_whitespace(spark):
     assert got[("u1", 1)] == (9, "Three four!")
     assert got[("u1", 2)] == (21, "Five.")
     assert got[("u2", 0)] == (0, "No terminators here")
+
+
+def test_quality_ignores_padding_and_sampling_keeps_null_keys(spark):
+    """r5 review contracts: (1) whitespace padding must not change
+    quality_score (trimmed word split); (2) NULL sampling keys hash a
+    sentinel — rate 1.0 is the identity, rate 0.0 the empty set."""
+    from refined_spark.operators.sampling import deterministic_sample
+    from refined_spark.operators.textstats import with_quality
+
+    q = with_quality(spark.createDataFrame(
+        [(0, "the cat"), (1, "  the cat  ")],
+        "doc_id long, text string")).select("doc_id",
+                                            "quality_score").collect()
+    scores = {r.doc_id: r.quality_score for r in q}
+    assert scores[0] == scores[1]
+
+    df = spark.createDataFrame([(None,), ("k1",)], "k string")
+    assert deterministic_sample(df, 1.0, "k").count() == 2
+    assert deterministic_sample(df, 0.0, "k").count() == 0
+
+
+def test_pii_and_lm_null_text_contracts(spark):
+    """NULL text: pii counts are 0 / has_pii False-able (the row keeps
+    a boolean value path — here counts 0 => has_pii False); lm scoring
+    returns the row as (id, 0, NULL) instead of dropping it."""
+    from refined_spark.operators.lm_quality import (unigram_lm,
+                                                    with_lm_score)
+    from refined_spark.operators.pii import with_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail me a@b.org"), (1, None), (2, "")],
+        "doc_id long, text string")
+    p = {r.doc_id: r for r in with_pii(docs).collect()}
+    assert p[1].n_email == 0 and p[1].has_pii is False
+    assert p[0].n_email == 1 and p[0].has_pii is True
+
+    lm = unigram_lm(docs.where("text is not null"))
+    s = {r.doc_id: r for r in with_lm_score(docs, lm).collect()}
+    assert set(s) == {0, 1, 2}
+    assert s[1].n_tokens == 0 and s[1].lm_score is None
+    assert s[2].n_tokens == 0 and s[2].lm_score is None
+    assert s[0].lm_score is not None
+
+
+def test_line_stages_chain_without_duplicate_audit_columns(spark):
+    """drop_boilerplate_lines -> line_dedup_keep_first (the documented
+    curation order) must not duplicate the audit columns; the second
+    stage REPLACES them."""
+    from refined_spark.operators.lines import (drop_boilerplate_lines,
+                                               line_dedup_keep_first)
+
+    docs = spark.createDataFrame(
+        [(i, "banner 123\ncontent %d\nbanner 123" % i)
+         for i in range(4)], "doc_id long, text string")
+    chained = line_dedup_keep_first(drop_boilerplate_lines(docs, 3))
+    assert chained.columns == ["doc_id", "text", "n_lines_kept",
+                               "n_lines_dropped"]
+    chained.write.format("noop").mode("overwrite").save()  # writable
