@@ -1056,7 +1056,7 @@ def q_textstats(spark, sf):
 
     docs = _t(spark, sf, "documents")
     d = with_repetition(with_token_count(with_quality(docs)))
-    canon = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    canon = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     # project to scalars BEFORE the per-doc ngram attach so the join
     # exchange never carries text (the attach=False contract)
     base = d.select(
@@ -3351,10 +3351,16 @@ def oracle_sql() -> dict[str, str]:
                  cl as (select * from
                         read_parquet('{_fxp("expected_clusters")}')),
                  flags as (
-                   select (a.cluster_id = b.cluster_id) as same
+                   -- LEFT joins + coalesce(false): a mention missing
+                   -- from an assignment counts as not-co-clustered
+                   -- (lockstep with metrics._pair_flags)
+                   select coalesce(a.cluster_id = b.cluster_id, false)
+                            as same
                    from pairs p
-                   join cl a on p.url_a = a.url and p.start_a = a.start
-                   join cl b on p.url_b = b.url and p.start_b = b.start
+                   left join cl a on p.url_a = a.url
+                                 and p.start_a = a.start
+                   left join cl b on p.url_b = b.url
+                                 and p.start_b = b.start
                  )
             select cast(sum(case when same then 1 else 0 end) as bigint)
                      as tp,
@@ -3603,10 +3609,10 @@ def oracle_sql() -> dict[str, str]:
               select 9000000, cast(null as varchar)
             ),
             hist as (select distinct
-                       regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) c
                      from d where text is not null),
             probe as (select doc_id, text,
-                        regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                        trim(regexp_replace(text, '\\s+', ' ', 'g')) c
                       from incr),
             fresh as (select * from probe p
                       where not exists (select 1 from hist h
@@ -3629,7 +3635,7 @@ def oracle_sql() -> dict[str, str]:
               from d where doc_id % 3 = 1
             ),
             hist as (select distinct
-                       regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) c
                      from d)
             -- zero-signature carve-out: an empty/whitespace-only doc
             -- has no shingles, never bands, and is KEPT by the near
@@ -3637,10 +3643,10 @@ def oracle_sql() -> dict[str, str]:
             -- minhash_signatures' zero-sig convention; vacuous on
             -- today's fixture, future-proofs a regen)
             select doc_id from incr p
-            where regexp_replace(trim(p.text), '\\s+', ' ', 'g') = ''
+            where trim(regexp_replace(p.text, '\\s+', ' ', 'g')) = ''
                or p.text is null
                or not exists (select 1 from hist h
-              where h.c = regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
+              where h.c = trim(regexp_replace(p.text, '\\s+', ' ', 'g')))
             order by doc_id
         """,
         "ann_cosine_topk": """
@@ -3697,7 +3703,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(regexp_extract_all(text,
                         '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) as int)
                      as n_tokens,
-                   md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                      as fingerprint,
                    round(case when len(regexp_split_to_array(
                        lower(trim(text)), '\\s+')) > 0 then
@@ -3738,11 +3744,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_incr": """
             with hist as (select distinct
-                            regexp_replace(trim(text), '\\s+', ' ', 'g') c
+                            trim(regexp_replace(text, '\\s+', ' ', 'g')) c
                           from documents where doc_id % 2 = 0)
             select doc_id from documents p
             where not exists (select 1 from hist h
-              where h.c = regexp_replace(trim(p.text), '\\s+', ' ', 'g'))
+              where h.c = trim(regexp_replace(p.text, '\\s+', ' ', 'g')))
             order by doc_id
         """,
         "stream_totals": """
@@ -4061,12 +4067,14 @@ def oracle_sql() -> dict[str, str]:
         "table_accuracy": f"""
             with {_table_link_cte()},
             g as (
+              -- reference parity: empty/NULL-truth GT rows are skipped
               select gt.table_id, gt."row",
                      string_split(gt.qid, ' ') as qids,
                      coalesce(l.pred_qcode, 'NIL') as pred
               from read_parquet('{_fxp("table_gt")}') gt
               left join linked l
                 on gt.table_id = l.table_id and gt."row" = l."row"
+              where gt.qid is not null and trim(gt.qid) <> ''
             ), agg as (
               select cast(count(*) as bigint) as total,
                      cast(sum(case when list_contains(qids, pred)
@@ -4149,82 +4157,91 @@ def oracle_sql() -> dict[str, str]:
         # E6 span corrections: sequential strip transforms as chained CTEs
         "span_correct": f"""
             with s0 as materialized (
-              select url, start, length, text
+              -- elig computed ONCE (reference general_utils.py:159):
+              -- the strips apply unconditionally on the shrinking text
+              select url, start, length, text,
+                     length(text) > 2 as elig
               from read_parquet('{_fxp("messy_spans")}')
               where not (length(text) = 1
                          or text in (repeat(chr(10), 2), repeat(chr(10), 3),
                                      repeat(chr(10), 4), 'the'))
             ), s1 as materialized (
               select url,
-                start + case when length(text) > 2
+                start + case when elig
                              and substr(text, 1, 1) = chr(10)
                         then 1 else 0 end as start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, 1, 1) = chr(10)
                          then 1 else 0 end as length,
-                case when length(text) > 2 and substr(text, 1, 1) = chr(10)
-                     then substr(text, 2) else text end as text
+                case when elig and substr(text, 1, 1) = chr(10)
+                     then substr(text, 2) else text end as text,
+                elig
               from s0
             ), s2 as materialized (
               select url,
-                start + case when length(text) > 2
+                start + case when elig
                              and substr(text, 1, 1) = chr(10)
                         then 1 else 0 end as start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, 1, 1) = chr(10)
                          then 1 else 0 end as length,
-                case when length(text) > 2 and substr(text, 1, 1) = chr(10)
-                     then substr(text, 2) else text end as text
+                case when elig and substr(text, 1, 1) = chr(10)
+                     then substr(text, 2) else text end as text,
+                elig
               from s1
             ), s3 as materialized (
               select url, start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, length(text), 1) = chr(10)
                          then 1 else 0 end as length,
-                case when length(text) > 2
+                case when elig
                      and substr(text, length(text), 1) = chr(10)
                      then substr(text, 1, length(text) - 1)
-                     else text end as text
+                     else text end as text,
+                elig
               from s2
             ), s4 as materialized (
               select url, start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, length(text), 1) = chr(10)
                          then 1 else 0 end as length,
-                case when length(text) > 2
+                case when elig
                      and substr(text, length(text), 1) = chr(10)
                      then substr(text, 1, length(text) - 1)
-                     else text end as text
+                     else text end as text,
+                elig
               from s3
             ), s5 as materialized (
               select url,
-                start + case when length(text) > 2
+                start + case when elig
                              and substr(text, 1, 1) = '"'
                              and substr(text, length(text), 1) <> '"'
                         then 1 else 0 end as start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, 1, 1) = '"'
                               and substr(text, length(text), 1) <> '"'
                          then 1 else 0 end as length,
-                case when length(text) > 2 and substr(text, 1, 1) = '"'
+                case when elig and substr(text, 1, 1) = '"'
                      and substr(text, length(text), 1) <> '"'
-                     then substr(text, 2) else text end as text
+                     then substr(text, 2) else text end as text,
+                elig
               from s4
             ), s6 as materialized (
               select url, start,
-                length - case when length(text) > 2
+                length - case when elig
                               and substr(text, length(text), 1) = '"'
                               and substr(text, 1, 1) <> '"'
                          then 1 else 0 end as length,
-                case when length(text) > 2
+                case when elig
                      and substr(text, length(text), 1) = '"'
                      and substr(text, 1, 1) <> '"'
                      then substr(text, 1, length(text) - 1)
-                     else text end as text
+                     else text end as text,
+                elig
               from s5 where text <> 'the'
             ), marked as materialized (
               select *,
-                (start = 0 and length(text) > 2
+                (start = 0 and elig
                  and len(string_split(text, chr(10) || chr(10))) = 2)
                   as splittable,
                 string_split(text, chr(10) || chr(10)) as parts
@@ -4258,23 +4275,38 @@ def oracle_sql() -> dict[str, str]:
             order by url, start, from_prioritised, text
         """,
         "sentence_split": """
-            with d as (
+            -- offsets by POSITION SEARCH from the previous chunk's
+            -- end (recursive walk), mirroring the Spark locate() fold
+            -- — a blind prefix-sum shifts every offset after any
+            -- character the chunk regex skips; sent_start points at
+            -- the TRIMMED sentence's first character
+            with recursive d as (
               select cast(doc_id as varchar) as url,
+                     text || '. ' || source || '! trailing mid? '
+                          || lang || '.' as t,
                      regexp_extract_all(
                        text || '. ' || source || '! trailing mid? '
                             || lang || '.',
                        '[^.!?]+[.!?]*\\s*', 0) as cs
               from documents
-            ), e as (
-              select url, cast(i - 1 as int) as sent_idx, cs[i] as chunk,
-                     cast(coalesce(sum(length(cs[i])) over (
-                       partition by url order by i
-                       rows between unbounded preceding and 1 preceding),
-                       0) as int) as sent_start
-              from d, unnest(generate_series(1, len(cs))) as t(i)
+            ), walk(url, i, startpos, endpos) as (
+              select url, 0, 0, 0 from d
+              union all
+              select w.url, w.i + 1,
+                     w.endpos + position(d.cs[w.i + 1] in
+                                         substr(d.t, w.endpos + 1)) - 1,
+                     w.endpos + position(d.cs[w.i + 1] in
+                                         substr(d.t, w.endpos + 1)) - 1
+                       + length(d.cs[w.i + 1])
+              from walk w join d using (url)
+              where w.i < len(d.cs)
             )
-            select url, sent_idx, sent_start, trim(chunk) as sentence
-            from e where length(trim(chunk)) > 0
+            select url, cast(w.i - 1 as int) as sent_idx,
+                   cast(w.startpos + length(d.cs[w.i])
+                        - length(ltrim(d.cs[w.i])) as int) as sent_start,
+                   trim(d.cs[w.i]) as sentence
+            from walk w join d using (url)
+            where w.i >= 1 and length(trim(d.cs[w.i])) > 0
             order by url, sent_idx
         """,
         "bio_decode": f"""

@@ -61,9 +61,14 @@ def extract_anchors(pages: DataFrame,
 
 def anchor_link_counts(pages: DataFrame, redirects: DataFrame,
                        title_qcode: DataFrame, deny_qcodes: DataFrame,
-                       broadcast_titles: bool = True) -> DataFrame:
+                       broadcast_titles: bool = False) -> DataFrame:
     """Full S3/E10 flow → (surface_form_raw, qcode, source, cnt): the
-    exact input shape of :func:`pem_build.build_pem` (A1)."""
+    exact input shape of :func:`pem_build.build_pem` (A1). The default
+    matches the module contract above — title→qcode is 33M rows at
+    reference scale, so it shuffles unless the caller opts a small
+    dimension into ``broadcast_titles=True`` (the r5 review found code
+    and docstring stating OPPOSITE defaults for the one join the
+    module calls out as scale-critical)."""
     raw = extract_anchors(pages)
     cleaned = raw.withColumn("wiki_title", clean_wiki_title(F.col("uri")))
     red = F.broadcast(redirects.select(

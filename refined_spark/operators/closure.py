@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 def class_closure(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges: (child_class, parent_class) → (child_class, ancestor_class)
-    reflexive-transitive closure (includes child itself)."""
+    reflexive-transitive closure (includes child itself). Raises if the
+    DAG is deeper than ``max_iter`` hops — a silently truncated closure
+    would propagate into entity class arrays and minimal-set pruning
+    with everything green (r5 review); real Wikidata P279 chains can
+    exceed small caps, so the failure must be loud."""
     nodes = (
         edges.select(F.col("child_class").alias("c"))
         .union(edges.select(F.col("parent_class").alias("c")))
@@ -28,10 +32,12 @@ def class_closure(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     step = edges.select(F.col("child_class"),
                         F.col("parent_class").alias("ancestor_class"))
     frontier = step
+    converged = False
     for _ in range(max_iter):
         new = closure.unionByName(frontier).distinct().localCheckpoint()
         if new.count() == closure.count():
             closure = new
+            converged = True
             break
         closure = new
         # extend frontier one hop: frontier ⋈ edges
@@ -43,6 +49,11 @@ def class_closure(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("e.parent_class").alias("ancestor_class"))
             .distinct()
         )
+    if not converged:
+        raise RuntimeError(
+            f"class_closure did not converge within max_iter={max_iter} "
+            "hops — the subclass DAG is deeper than the cap; raise "
+            "max_iter rather than returning a truncated closure")
     return closure
 
 

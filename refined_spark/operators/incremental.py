@@ -58,7 +58,10 @@ def content_fingerprint(text_col: str = "text") -> Column:
     xxhash64 would otherwise fold every NULL doc onto the seed hash
     and dedup them together; the contract, like lines.py's empty-key
     rule, is that content-less rows are never dedup keys)."""
-    canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    # collapse FIRST, then trim: Spark/DuckDB trim strips spaces only,
+    # so an edge tab/newline would otherwise survive as a leading space
+    # and '\tef' would not dedup against 'ef' (hypothesis-found)
+    canon = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return F.when(canon.isNull(), F.lit(None).cast("long")).otherwise(
         F.xxhash64(canon))
 

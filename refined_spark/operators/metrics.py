@@ -24,10 +24,18 @@ def _pair_flags(pairs: DataFrame, clusters: DataFrame,
                  F.col("cluster_id").alias("cid_a"))
     b = c.select(F.col("url").alias("url_b"), F.col("start").alias("start_b"),
                  F.col("cluster_id").alias("cid_b"))
+    # LEFT joins: a mention missing from the assignment (dropped by
+    # span correction, dedup, a partial run ...) must count as
+    # NOT-co-clustered for its pairs, not silently remove them from
+    # the tp/fp/fn inventory — with inner joins a clustering that lost
+    # half its mentions could still score F1=1.0 on the remainder
+    # (r5 review; the BASELINE gate metric must see recall collapse)
     return (
-        pairs.join(a, ["url_a", "start_a"])
-        .join(b, ["url_b", "start_b"])
-        .withColumn(col_name, (F.col("cid_a") == F.col("cid_b")))
+        pairs.join(a, ["url_a", "start_a"], "left")
+        .join(b, ["url_b", "start_b"], "left")
+        .withColumn(col_name,
+                    F.coalesce(F.col("cid_a") == F.col("cid_b"),
+                               F.lit(False)))
         .drop("cid_a", "cid_b")
     )
 
@@ -93,10 +101,15 @@ def pairwise_f1(pairs: DataFrame, ours: DataFrame,
     (tp, fp, fn, precision, recall, f1)."""
     flagged = _pair_flags(_pair_flags(pairs, ours, "pred_same"),
                           reference, "ref_same")
+    # coalesce to the monoid's zeros(): sum over zero pairs is NULL,
+    # and a NULL f1 poisons any >= gate comparison downstream
     agg = flagged.agg(
-        F.sum((F.col("pred_same") & F.col("ref_same")).cast("long")).alias("tp"),
-        F.sum((F.col("pred_same") & ~F.col("ref_same")).cast("long")).alias("fp"),
-        F.sum((~F.col("pred_same") & F.col("ref_same")).cast("long")).alias("fn"),
+        F.coalesce(F.sum((F.col("pred_same") & F.col("ref_same"))
+                         .cast("long")), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum((F.col("pred_same") & ~F.col("ref_same"))
+                         .cast("long")), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum((~F.col("pred_same") & F.col("ref_same"))
+                         .cast("long")), F.lit(0)).alias("fn"),
     )
     return agg.select(
         "tp", "fp", "fn",

@@ -64,7 +64,11 @@ P_CARDINAL = rf"{_NUM}(?:\s{_SCALE})?|{_CARD_WORD}"
 # identical in Python re and RE2's Perl mode, which DuckDB uses — the
 # same contract date_detect relies on). \b guards flank word-char ends;
 # currency symbols carry their own left edge.
-DETECT_PATTERN = (rf"\b(?:{P_PERCENT})"
+# the PERCENT word alternatives need their own trailing \b ('95
+# percentile' must not leak a '95 percent' span — r5 review); the '%'
+# symbol cannot take one (non-word char), mirroring the MONEY
+# symbol/word split below
+DETECT_PATTERN = (rf"\b(?:{_NUM}\s?(?:%|percent\b|per cent\b))"
                   rf"|{_CURR_SYM}\s?{_NUM}(?:\s?{_SCALE})?\b"
                   rf"|\b(?:{_NUM}(?:\s?{_SCALE})?\s{_CURR_WORD})\b"
                   rf"|\b(?:{P_TIME})\b"

@@ -40,10 +40,16 @@ def correct_spans(spans: DataFrame) -> DataFrame:
         (F.length("text") == 1)
         | F.col("text").isin("\n\n", "\n\n\n", "\n\n\n\n", "the")
     ))
+    # reference parity (general_utils.py:159): the len > 2 eligibility
+    # check runs ONCE, before any strip — the strips themselves apply
+    # unconditionally on the shrinking text ('\na\n' strips to 'a',
+    # not to 'a\n'; a re-derived per-strip length guard blocked the
+    # trailing strip at len 2 — r5 review)
+    df = df.withColumn("_elig", F.length("text") > 2)
 
     # unrolled strips (reference checks each rule twice for newlines)
     def strip_lead(df):
-        cond = (F.length("text") > 2) & (F.substring("text", 1, 1) == "\n")
+        cond = F.col("_elig") & (F.substring("text", 1, 1) == "\n")
         return df.withColumn(
             "start", F.when(cond, F.col("start") + 1).otherwise(F.col("start"))
         ).withColumn(
@@ -53,7 +59,7 @@ def correct_spans(spans: DataFrame) -> DataFrame:
             .otherwise(F.col("text")))
 
     def strip_trail(df):
-        cond = ((F.length("text") > 2)
+        cond = (F.col("_elig")
                 & (F.substring("text", -1, 1) == "\n"))
         return df.withColumn(
             "length", F.when(cond, F.col("length") - 1).otherwise(F.col("length"))
@@ -64,7 +70,7 @@ def correct_spans(spans: DataFrame) -> DataFrame:
     df = strip_lead(strip_lead(df))
     df = strip_trail(strip_trail(df))
 
-    lead_q = ((F.length("text") > 2) & (F.substring("text", 1, 1) == '"')
+    lead_q = (F.col("_elig") & (F.substring("text", 1, 1) == '"')
               & (F.substring("text", -1, 1) != '"'))
     df = (df.withColumn("start", F.when(lead_q, F.col("start") + 1)
                         .otherwise(F.col("start")))
@@ -72,7 +78,7 @@ def correct_spans(spans: DataFrame) -> DataFrame:
                       .otherwise(F.col("length")))
           .withColumn("text", F.when(lead_q, F.expr("substring(text, 2)"))
                       .otherwise(F.col("text"))))
-    trail_q = ((F.length("text") > 2) & (F.substring("text", -1, 1) == '"')
+    trail_q = (F.col("_elig") & (F.substring("text", -1, 1) == '"')
                & (F.substring("text", 1, 1) != '"'))
     df = (df.withColumn("length", F.when(trail_q, F.col("length") - 1)
                         .otherwise(F.col("length")))
@@ -95,7 +101,7 @@ def correct_spans(spans: DataFrame) -> DataFrame:
     # stays one step per Project.
     pieces = F.split("text", "\n\n")
     splittable = ((F.col("start") == 0) & (F.size(pieces) == 2)
-                  & (F.length("text") > 2))
+                  & F.col("_elig"))
     parts = F.when(F.col("text") != "the", F.when(splittable, F.array(
         F.struct(F.lit(0).alias("p_start"),
                  F.element_at(pieces, 1).alias("p_text")),
@@ -131,9 +137,11 @@ def merge_spans(additional: DataFrame, prioritised: DataFrame) -> DataFrame:
 
 def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """E3 — (url, text) -> (url, sent_idx, sent_start, sentence).
-    Chunk regex keeps terminators + trailing whitespace so offsets are a
-    prefix-sum (computed in-row, zero shuffle); emitted sentences are
-    trimmed, empty chunks dropped.
+    Chunk regex keeps terminators + trailing whitespace; offsets come
+    from an in-row position-search fold (zero shuffle), so characters
+    the chunk regex skips cannot shift later offsets; emitted sentences
+    are trimmed (sent_start points at the trimmed first character),
+    empty chunks dropped.
 
     The pattern is passed as a Column literal (Python API), NOT
     interpolated into an F.expr SQL string: Spark's SQL parser unescapes
@@ -141,21 +149,34 @@ def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``s`` and the chunk regex would stop consuming trailing whitespace,
     shifting every subsequent sentence offset (round-2 advisor repro)."""
     chunks = F.regexp_extract_all(F.col(text_col), F.lit(SENT_RE), F.lit(0))
-    d = docs.select("url", chunks.alias("chunks"))
+    d = docs.select("url", F.col(text_col).alias("_t"),
+                    chunks.alias("chunks"))
+    # offsets by POSITION SEARCH, not a blind prefix-sum of chunk
+    # lengths: any character the chunk regex skips (a leading '!', a
+    # run of bare terminators) would shift every subsequent offset
+    # (r5 review, simulated: '!Hello. World.' put 'Hello.' at 0, real
+    # position 1). locate() from the previous chunk's end finds each
+    # chunk's true start; monotone search keeps repeated sentences
+    # aligned to their own instances.
     offs = F.expr("""
         aggregate(chunks, struct(cast(array() as array<int>) as offs,
                                  0 as pos),
-          (acc, c) -> struct(acc.offs || array(acc.pos),
-                             acc.pos + length(c)),
+          (acc, c) -> struct(
+              acc.offs || array(locate(c, _t, acc.pos + 1) - 1),
+              locate(c, _t, acc.pos + 1) - 1 + length(c)),
           acc -> acc.offs)
     """)
     z = d.select("url", F.posexplode(F.arrays_zip(
         F.col("chunks").alias("chunk"), offs.alias("off"))).alias("i", "e"))
     sent = F.trim(F.col("e.chunk"))
+    # the emitted sentence is trimmed — point sent_start at its first
+    # character, not at the untrimmed chunk's
+    lead_ws = F.length("e.chunk") - F.length(F.ltrim(F.col("e.chunk")))
     return (
         z.where(F.length(sent) > 0)
         .select("url", F.col("i").cast("int").alias("sent_idx"),
-                F.col("e.off").cast("int").alias("sent_start"),
+                (F.col("e.off") + lead_ws).cast("int")
+                .alias("sent_start"),
                 sent.alias("sentence"))
     )
 

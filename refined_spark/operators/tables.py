@@ -110,7 +110,12 @@ def table_accuracy(linked: DataFrame, gt: DataFrame) -> DataFrame:
     per GT cell, prediction counts as NIL when absent; match when the
     predicted qid is in the truth list (or both NIL); fp only for non-NIL
     wrong predictions. Returns one row of metrics."""
-    g = gt.withColumn("qids", F.split("qid", " "))
+    # reference parity (accuracy.py:26 'if not truth_qids: continue'):
+    # GT rows with NULL/empty truth are SKIPPED entirely — counting
+    # them inflated total/fn, and a NULL qid row fell out of tp/fn
+    # sums while still denominating total (r5 review)
+    g = (gt.where(F.col("qid").isNotNull() & (F.trim("qid") != ""))
+         .withColumn("qids", F.split("qid", " ")))
     j = g.join(linked, ["table_id", "row"], "left")
     pred = F.coalesce("pred_qcode", F.lit("NIL"))
     is_match = F.array_contains("qids", pred)
@@ -133,8 +138,7 @@ def table_accuracy(linked: DataFrame, gt: DataFrame) -> DataFrame:
     )
 
 
-def column_coarse_majority(linked: DataFrame, entity: DataFrame = None
-                           ) -> DataFrame:
+def column_coarse_majority(linked: DataFrame) -> DataFrame:
     """A7 — most frequent coarse type of the target column per table
     (job_service.py:194-229). Deterministic coarse stand-in: PERSON for
     human entities, OTHER otherwise, UNKNOWN for unlinked cells; majority

@@ -97,7 +97,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     """Deterministic 64-bit content fingerprint (xxhash64 of the
     whitespace-canonicalized text) — the rolling-hash doc identity used
     for incremental dedup manifests."""
-    canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    canon = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(canon))
 
 
