@@ -414,17 +414,17 @@ def gen_et_expected(out_dir: str, world: dict, k: int = 3) -> None:
 
     uni = world["uni"]
     names = [n for n, _ in sorted(uni["cidx"].items(), key=lambda kv: kv[1])]
-    ctx_words = sorted({sp["ctx_word"] for sp in world["spans"]
-                        if sp.get("ctx_word")})
+    # '' plays the NULL-context sentinel: every span gets a typed
+    # prediction (the reference types every span; engine r5 fix maps
+    # NULL ctx to '' in et_top_classes)
+    ctx_words = sorted({sp.get("ctx_word") or "" for sp in world["spans"]})
     conf, sq = et_conf_matrix(ctx_words, names)
     et = dict(conf_by_ctx={w: conf[i] for i, w in enumerate(ctx_words)},
               sq_by_ctx={w: float(sq[i]) for i, w in enumerate(ctx_words)})
 
     type_rows = []
     for sp in world["spans"]:
-        w = sp.get("ctx_word")
-        if not w:
-            continue
+        w = sp.get("ctx_word") or ""
         c = et["conf_by_ctx"][w]
         order = sorted(range(len(names)), key=lambda i: (-c[i], i))
         for rank, i in enumerate(order[:k], 1):

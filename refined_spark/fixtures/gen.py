@@ -46,7 +46,9 @@ FIXTURE_VERSION = "v5"  # v5: documents/gold_spans sharded into many files
 # Versioned SEPARATELY so adding one never invalidates the expensive bench
 # corpus: extras are only generated for oracle tiers (t1/t2) and regenerate
 # independently of the core stamp.
-EXTRAS_VERSION = "x24"  # x24: path-only trailing-slash alias decoration
+EXTRAS_VERSION = "x25"  # x25: ET goldens type NULL-ctx spans via the
+                        # '' sentinel (every span predicted);
+                        # x24: path-only trailing-slash alias decoration
                         # (canonical_url rule 5 fix);
                         # x23: wildcard/exception PSL rows (psl_crawl +
                         # blocklist — *.mm / !city.kawasaki.jp arms);

@@ -103,8 +103,12 @@ def lsh_mention_pairs(mentions: DataFrame,
         mentions.select("mention_key", "norm_sf")).select(
         "mention_key", "norm_sf", "block_key")
     sizes = mb.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
-    ok = sizes.where(F.col("n") <= max_block).select("block_key")
-    bounded = mb.join(F.broadcast(ok), "block_key")
+    # broadcast the OVER-cap keys and anti-join: the under-cap
+    # complement is ~every distinct band key (mention-scale — the r5
+    # review's driver-OOM class at the module's own 10^12 framing);
+    # the over-cap set is bounded by corpus_size/max_block
+    big = sizes.where(F.col("n") > max_block).select("block_key")
+    bounded = mb.join(F.broadcast(big), "block_key", "left_anti")
     a, b = bounded.alias("a"), bounded.alias("b")
     return (
         a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
@@ -191,10 +195,14 @@ def salted_candidate_join(mentions: DataFrame, pem: DataFrame,
         F.when(F.col("is_hot"),
                F.sequence(F.lit(0), F.lit(buckets - 1)))
         .otherwise(F.array(F.lit(0)))).alias("salt")
+    # carry EVERY pem column (is_human etc.), not a hard-coded subset —
+    # the r5 wiring of this join into direct_candidates' non-broadcast
+    # path needs the same output shape as the plain join
+    pem_cols = list(pem.columns)
     p = (
         pem.join(hot_b, pem.surface_form == hot_b.hk, "left")
-        .select("surface_form", "qcode", "prob", "rank", "is_hot")
-        .select("surface_form", "qcode", "prob", "rank", salts)
+        .select(*pem_cols, "is_hot")
+        .select(*pem_cols, salts)
     )
     return (
         m.join(p, (m.norm_sf == p.surface_form)

@@ -77,10 +77,20 @@ def direct_candidates(mentions: DataFrame, pem: DataFrame, entity: DataFrame,
         F.col("surface_form"), F.col("qcode"), F.col("prob"),
         F.col("rank"), F.col("is_human"),
     )
+    m = mentions.select(*MENTION_COLS)
     if broadcast_pem:
         p = F.broadcast(p)
-    m = mentions.select(*MENTION_COLS)
-    return m.join(p, m.norm_sf == p.surface_form, "left").drop("surface_form")
+        return m.join(p, m.norm_sf == p.surface_form,
+                      "left").drop("surface_form")
+    # non-broadcast path: the module docstring promises pem-side
+    # salting, and until r5 this branch was a plain unsalted shuffle
+    # (salted_candidate_join existed but was never called) — a
+    # Zipf-hot surface would funnel every matching mention into one
+    # reduce task at exactly the scale the flag exists for
+    from .blocking import hot_keys, salted_candidate_join
+
+    hot = hot_keys(m, "norm_sf")
+    return salted_candidate_join(m, p, hot)
 
 
 def with_person_coref(direct: DataFrame,

@@ -49,7 +49,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SPLIT_RE = r"\s?--\s?| - | to "
+# (?i): the range is DETECTED case-insensitively, so it must SPLIT
+# case-insensitively too — '1945 To 1988' was detected as one range
+# span and then silently dropped whole (no family matched the unsplit
+# text; r5 review, live repro). (?i) is supported by both engines.
+SPLIT_RE = r"(?i)\s?--\s?| - | to "
 PREFIX_RE = (r"^(early|late|mid|the start of|the end of|the middle of"
              r"|the year)( |-)")
 
@@ -158,8 +162,13 @@ _ATOM = (rf"(?:\d{{1,2}}(?:st|nd|rd|th)? of {MONTH_RE},? \d{{4}}"
          rf"|\d{{1,2}}(?:st|nd|rd|th)? {MONTH_RE}"
          rf"|\d{{1,2}}[/.-]\d{{1,2}}[/.-]\d{{4}})")
 _RANGE_SEP = r"(?:\s?--\s?| - | to )"
+# trailing \b as well as leading: without it the grammar matched
+# truncated PREFIXES of longer digit runs and fabricated dates
+# ('12/05/20199' emitted 12/05/2019; 'May 20091' emitted May 2009 —
+# r5 review, live repro). \b is RE2-safe (no lookaround), so the
+# DuckDB replay keeps running the identical pattern.
 DETECT_PATTERN = (rf"\b(?:(?:{_ATOM}|\d{{4}}){_RANGE_SEP}"
-                  rf"(?:{_ATOM}|\d{{4}})|{_ATOM})")
+                  rf"(?:{_ATOM}|\d{{4}})|{_ATOM})\b")
 
 
 def detect_date_spans(docs: DataFrame, text_col: str = "text",

@@ -197,8 +197,15 @@ def et_top_classes(spans: DataFrame, class_names: list[str],
     gates must PROJECT IT AWAY from the compared surface (the
     q_et_types convention — ranks are compared, floats are
     pytest-gated, same as topk_links)."""
+    # NULL ctx (a mention with no '(word)' context — the common case
+    # on real text) maps to the '' sentinel so EVERY span gets a
+    # prediction: the reference types every span (its ET featurizer
+    # fillna('')s absent context); the inner join below otherwise
+    # silently dropped those spans from the user-facing output
+    # (r5 review)
+    ctx = F.coalesce(F.col("ctx_word"), F.lit(""))
     et = et_confidence_table(
-        spans.select("ctx_word"), class_names)
+        spans.select(ctx.alias("ctx_word")), class_names)
     name_arr = F.array(*[F.lit(n) for n in class_names])
     ranked = (et.select(
         "ctx_word",
@@ -212,6 +219,6 @@ def et_top_classes(spans: DataFrame, class_names: list[str],
         .select("ctx_word", F.col("rn").alias("et_rank"),
                 F.element_at(name_arr, F.col("cpos") + 1)
                 .alias("class_name"), "conf"))
-    return (spans.select("url", "start", "ctx_word")
+    return (spans.select("url", "start", ctx.alias("ctx_word"))
             .join(F.broadcast(ranked), "ctx_word")
             .select("url", "start", "et_rank", "class_name", "conf"))

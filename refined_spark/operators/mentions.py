@@ -158,8 +158,20 @@ def attach_context(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def mention_id_col() -> F.Column:
-    return F.concat(F.col("url"), F.lit(":"),
-                    F.lpad(F.col("start").cast("string"), 8, "0"))
+    """Fixed-width mention key: url ':' lpad(start, 8). The width
+    covers starts < 10^8 — 100 MB of extracted text per document, two
+    orders beyond any real web page. Offsets at or past the bound FAIL
+    LOUDLY (assert_true): lpad would otherwise truncate and silently
+    MERGE distinct mentions across every key-keyed stage (r5
+    review)."""
+    guard = F.assert_true(
+        F.col("start") < 100_000_000,
+        F.lit("mention_id_col: start offset >= 10^8 would truncate "
+              "the fixed-width mention key"))
+    return F.when(guard.isNull(),
+                  F.concat(F.col("url"), F.lit(":"),
+                           F.lpad(F.col("start").cast("string"), 8,
+                                  "0")))
 
 
 def mentions_from_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
@@ -251,8 +263,13 @@ def _mention_rows_runner(dict_src, from_html: bool):
                     texts_m.append(phrase)
                     norms.append(nrm)
                     ctxs.append(m.group(1) if m else None)
-                    # f"{off:08d}"[:8] == Spark lpad(_, 8, '0') exactly
-                    mkeys.append(f"{url}:" + f"{off:08d}"[:8])
+                    # same bound as mention_id_col: truncation would
+                    # silently merge distinct mentions
+                    if off >= 100_000_000:
+                        raise ValueError(
+                            "mention key: start offset >= 10^8 in "
+                            f"{url!r}")
+                    mkeys.append(f"{url}:{off:08d}")
             yield pd.DataFrame(dict(
                 url=urls, start=pd.array(starts, dtype="int32"),
                 length=pd.array(lengths, dtype="int32"),

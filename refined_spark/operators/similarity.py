@@ -91,7 +91,16 @@ def hyperplane_signatures(df: DataFrame, dim: int, bits: int = 16,
     @pandas_udf(LongType())
     def sig_udf(vecs: pd.Series) -> pd.Series:
         # one BLAS matmul per Arrow batch: (n, dim) @ (dim, bits) sign
-        # matrix, bits packed with a single int64 dot — no per-row Python
+        # matrix, bits packed with a single int64 dot — no per-row Python.
+        # Contract check first: a NULL or wrong-width embedding would
+        # otherwise die deep in numpy with an opaque stack/asarray error
+        bad = [i for i, v in enumerate(vecs)
+               if v is None or len(v) != dim]
+        if bad:
+            raise ValueError(
+                f"hyperplane_signatures: {len(bad)} embedding(s) NULL "
+                f"or not dim={dim} (first at batch index {bad[0]}) — "
+                "the vector column must be non-null fixed-width")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (m @ planes.T) > 0
         return pd.Series(signs.astype(np.int64) @ weights)
@@ -148,9 +157,12 @@ def ann_topk_banded(corpus: DataFrame, k: int, dim: int, bits: int = 16,
         .select(F.col("a.id").alias("qid"), F.col("b.id").alias("nid"))
         .distinct()
     )
-    c = with_norm(
+    # track, as the comment above promises: c feeds BOTH re-attach
+    # joins (no shared exchange) — untracked, the full corpus scan +
+    # norm recomputed per side (ivf_topk already tracked its c)
+    c = track(with_norm(
         corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("vec")), "vec", "n")
+                      F.col(vec_col).alias("vec")), "vec", "n"))
     scored = (
         cand.join(c.select(F.col("id").alias("qid"),
                            F.col("vec").alias("qvec"),
@@ -224,8 +236,9 @@ def cosine_near_pairs(corpus: DataFrame, tau: float, dim: int,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    c = with_norm(corpus.select(F.col(id_col).alias("id"),
-                                F.col(vec_col).alias("vec")), "vec", "n")
+    c = track(with_norm(corpus.select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("vec")),
+                        "vec", "n"))
     return (
         cand.join(c.select(F.col("id").alias("id_a"),
                            F.col("vec").alias("va"),

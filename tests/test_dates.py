@@ -208,3 +208,23 @@ def test_detect_new_worded_shapes(spark):
     assert ("w2", 36, "February of 2009") in got
     assert ("w3", 4, "2009 February") in got
     assert ("w4", 8, "3 may") in got
+
+
+def test_grammar_boundaries_and_mixed_case_ranges(spark):
+    """r5 review repros: a longer digit run must not yield a truncated
+    fabricated date, and a mixed-case range joiner must split the way
+    it detected."""
+    from refined_spark.operators.dates import detect_date_spans, resolve_dates
+
+    docs = spark.createDataFrame(
+        [("u1", "released 12/05/20199 build"),
+         ("u2", "May 20091 units"),
+         ("u3", "the war ran 1945 To 1988 overall")],
+        "url string, text string")
+    spans = detect_date_spans(docs)
+    got = {(r.url, r.date_text) for r in spans.collect()}
+    assert not any(u in ("u1", "u2") for u, _ in got), got
+    assert ("u3", "1945 To 1988") in got
+    years = {(r.url, r.year) for r in
+             resolve_dates(spans).select("url", "year").collect()}
+    assert ("u3", 1945) in years and ("u3", 1988) in years
