@@ -2843,7 +2843,8 @@ def _curate_full_chain_cte() -> str:
           where d.lm_score <= {cfg["lm_tau"]}
         ), wds as materialized (
           select doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\\s+') as w
+                 list_filter(regexp_split_to_array(lower(text),
+                        '\\s+'), x -> x <> '') as w
           from fluent
         ), sh as materialized (
           select doc_id, list_distinct(list_transform(
@@ -3527,7 +3528,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": """
             with d as (
               select doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') as w
+                     list_filter(regexp_split_to_array(lower(text),
+                        '\\s+'), x -> x <> '') as w
               from documents where n_chars > 0 and doc_id < 2000
             ), sh as (
               select doc_id,

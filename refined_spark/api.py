@@ -165,9 +165,18 @@ class RefinedSpark:
             spans_df = self.spark.createDataFrame(
                 [("doc0", s, ln, text[s:s + ln]) for s, ln in spans],
                 "url string, start int, length int, mention_text string")
-        out = self.process_documents(docs, spans_df=spans_df)
-        rows = out.orderBy("start").collect()
-        self.release_caches()  # free the per-call pipeline caches
+        from .caching import cache_scope
+
+        # SCOPED release: only this call's pipeline caches — a global
+        # release_caches() here would also drain caches backing a
+        # still-live process_documents frame from an earlier call
+        n_hooks = len(self._unpersist_hooks)
+        with cache_scope():
+            out = self.process_documents(docs, spans_df=spans_df)
+            rows = out.orderBy("start").collect()
+        for h in self._unpersist_hooks[n_hooks:]:
+            h()
+        del self._unpersist_hooks[n_hooks:]
         return rows
 
     def process_text_batch(self, texts: list[str]) -> dict[int, list]:
@@ -175,8 +184,14 @@ class RefinedSpark:
         docs = self.spark.createDataFrame(
             [(f"doc{i}", bytearray(t.encode("utf-8")))
              for i, t in enumerate(texts)], "url string, html binary")
-        out = self.process_documents(docs).collect()
-        self.release_caches()
+        from .caching import cache_scope
+
+        n_hooks = len(self._unpersist_hooks)
+        with cache_scope():  # scoped — see process_text
+            out = self.process_documents(docs).collect()
+        for h in self._unpersist_hooks[n_hooks:]:
+            h()
+        del self._unpersist_hooks[n_hooks:]
         by_doc: dict[int, list] = {i: [] for i in range(len(texts))}
         for r in out:
             by_doc[int(r["url"][3:])].append(r)

@@ -18,9 +18,31 @@ between queries.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+
+@contextmanager
+def cache_scope():
+    """Release ONLY the frames tracked inside the with-block — the
+    scoped alternative to :func:`release_caches` for a caller (e.g. the
+    facade's collect-and-return sugar) that must not drain caches
+    backing OTHER still-live lazy frames (r5 review: process_text's
+    global release silently invalidated an earlier process_documents
+    result, forcing full recomputation on its next action)."""
+    start = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > start:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
 
 
 def track(df: DataFrame) -> DataFrame:

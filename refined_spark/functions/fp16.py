@@ -31,16 +31,18 @@ from pyspark.sql.types import ArrayType, BinaryType, FloatType
 
 @pandas_udf(BinaryType())
 def _pack_f16(arrs: pd.Series) -> pd.Series:
+    # NULL rows round-trip as NULL (an entity with no description):
+    # np.asarray(None) would otherwise abort the whole partition
     return arrs.map(
-        lambda a: np.asarray(a, dtype=np.float32)
-        .astype(np.float16).tobytes())
+        lambda a: None if a is None else
+        np.asarray(a, dtype=np.float32).astype(np.float16).tobytes())
 
 
 @pandas_udf(ArrayType(FloatType()))
 def _unpack_f16(bufs: pd.Series) -> pd.Series:
     return bufs.map(
-        lambda b: np.frombuffer(b, dtype=np.float16)
-        .astype(np.float32))
+        lambda b: None if b is None else
+        np.frombuffer(b, dtype=np.float16).astype(np.float32))
 
 
 def write_entity_emb_fp16(entity_emb: DataFrame, path: str) -> None:

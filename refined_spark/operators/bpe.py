@@ -51,6 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..caching import track
+
 # GPT-2 pre-tokenizer, translated to stdlib `re` classes:
 #   \p{L} -> [^\W\d_]   (unicode letters)
 #   \p{N} -> \d         (unicode digits)
@@ -372,11 +374,13 @@ def train_bpe_spark(docs: DataFrame, n_merges: int,
     if driver_vocab_limit:
         # materialize the vocab table ONCE before probing: the probe's
         # limit() runs the full corpus aggregation anyway, and without
-        # the checkpoint the fallback path would re-run that corpus
-        # pass — the job's dominant cost in exactly the too-big-vocab
-        # regime — a second time. The checkpoint writes vocab-scale
-        # rows, trivial beside the pass it saves.
-        wf = wf.localCheckpoint()
+        # a barrier the fallback path would re-run that corpus pass —
+        # the job's dominant cost in exactly the too-big-vocab regime —
+        # a second time. track() (persist), not localCheckpoint: the
+        # cached vocab-scale blocks are then reclaimable via
+        # release_caches() instead of stranding per call (caching.py's
+        # stranded-cache class, r5 review).
+        wf = track(wf)
         # Arrow transfer, not row collect: at the production vocabulary
         # shape (10^6-10^7 distinct words) toPandas moves the table 4x
         # faster than the py4j row path (measured: 1.6s vs 6.5s at 2M

@@ -267,7 +267,16 @@ def band_buckets(signatures: DataFrame,
     if persist:
         signatures = track(signatures)
     sig_len = F.size("sig")
-    rows_per_band = (sig_len / bands).cast("int")
+    # loud divisibility contract ('never silent'): a non-dividing band
+    # count would silently ignore the signature tail (recall loss), and
+    # bands > len(sig) would band an EMPTY slice — every doc in one
+    # global bucket per band, an O(n^2) join
+    guard = F.assert_true(
+        (sig_len % bands == 0) & (F.lit(bands) <= sig_len),
+        F.lit(f"band_buckets: bands={bands} must divide the signature "
+              "length and not exceed it"))
+    rows_per_band = F.when(guard.isNull(),
+                           (sig_len / bands).cast("int"))
     return signatures.select(
         "id",
         F.explode(
@@ -386,7 +395,15 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         cand_ids = F.broadcast(cand_ids)
     restricted = docs.join(cand_ids, on=id_col, how="left_semi")
 
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # minhash tokenization convention: split on \s+ and FILTER empty
+    # tokens — trim() strips only spaces, so a trailing newline/tab
+    # produced an empty edge token and a spurious shingle, flipping
+    # near-threshold verify decisions on whitespace-padded web text
+    # (r5 review: "to be or not\n" vs "to be or not" scored 0.5)
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+"),
+        lambda w: w != F.lit(""))
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0),
@@ -479,7 +496,14 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3
     # aggregate HOF) would be re-evaluated over the full corpus once per
     # side — the same defect class lsh_candidate_pairs persists against.
     # Rows are (id, 2 longs); released via caching.release_caches().
-    signatures = track(signatures)
+    # zero-signature guard (the lsh_candidate_pairs lesson applied to
+    # SimHash): every empty/whitespace-only/NULL-text doc signs
+    # (0, 0) and would land in ONE bucket in all 4 bands at hamming 0
+    # — an O(n^2) self-join on a crawl's millions of empty pages.
+    # Empty docs have no content to near-match; exact_dedup_groups
+    # already collapses byte-identical empties.
+    signatures = track(signatures.where(
+        (F.col("sim_hi") != 0) | (F.col("sim_lo") != 0)))
     banded = signatures.select(
         "id", "sim_hi", "sim_lo",
         F.explode(F.array(

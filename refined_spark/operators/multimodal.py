@@ -103,10 +103,16 @@ def extract_media_features(media: DataFrame,
         for pdf in batches:
             feats, oks = [], []
             for payload in pdf["payload"]:
+                # catch ANY decode failure, not just the stub's
+                # NotImplementedError: the documented production swap
+                # (Pillow etc.) raises codec-specific errors on
+                # non-image bytes, and one bad row must yield a
+                # decode_unavailable row, not kill the job (kind
+                # routing belongs behind the codec seam)
                 try:
                     feats.append(pooled_feature(payload, feat_dim))
                     oks.append("ok")
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — decode contract
                     feats.append(None)
                     oks.append("decode_unavailable")
             yield pd.DataFrame({
@@ -253,9 +259,18 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                                     "frame_idx", "ts_ms", "frame_digest")}
             for media_id, payload, dur in zip(
                     pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                # NULL payload/duration (legal under MEDIA_SCHEMA) must
+                # not crash the task (int(NaN) / decode of None): such a
+                # row yields zero frames — the fan-out analog of the
+                # siblings' decode_unavailable rows
+                if payload is None or dur is None or pd.isna(dur):
+                    continue
                 n_total = max(1, int(dur) // FRAME_MS)
                 for fi in uniform_frame_indices(n_total, n_frames):
-                    frame = _decode_frame_impl(payload, fi)
+                    try:
+                        frame = _decode_frame_impl(payload, fi)
+                    except Exception:  # noqa: BLE001 — decode contract
+                        continue
                     rows["media_id"].append(media_id)
                     rows["n_total_frames"].append(n_total)
                     rows["frame_idx"].append(fi)
